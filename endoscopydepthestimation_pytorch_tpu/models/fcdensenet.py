@@ -1,0 +1,225 @@
+"""FC-DenseNet depth networks (layer L3a) in Flax, NHWC.
+
+Architecture parity with the reference (models.py:19-208): pre-activation
+BN+ReLU+3x3conv dense layers, no dropout, 1x1-conv+maxpool transition-down,
+nearest-x2-upsample+3x3-conv transition-up (no transposed conv — kills grid
+artifacts), |final 1x1 conv| head producing nonnegative depth.
+
+TPU-native choices: NHWC layout throughout (XLA's preferred conv layout),
+optional bfloat16 compute with float32 parameters/statistics, channel
+concatenation on the trailing axis so XLA fuses the dense-block concats.
+
+Module names intentionally mirror the reference's attribute names so torch
+checkpoints map 1:1 (see models/torch_import.py).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Kaiming-normal fan_in for ReLU (reference utils.py:655-671: torch
+# kaiming_normal_(mode="fan_in", nonlinearity="relu") => std=sqrt(2/fan_in))
+kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+glorot_normal = nn.initializers.variance_scaling(1.0, "fan_avg", "normal")
+
+Dtype = Any
+
+
+def _bn(train: bool, dtype: Dtype, name: str) -> nn.BatchNorm:
+    # torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (flax momentum=0.9)
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                        dtype=dtype, name=name)
+
+
+class DenseLayer(nn.Module):
+    """BN -> ReLU -> 3x3 conv(growth_rate). Reference models.py:19-28."""
+    growth_rate: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = _bn(train, self.dtype, "norm")(x)
+        y = nn.relu(y)
+        y = nn.Conv(self.growth_rate, (3, 3), padding=1, use_bias=True,
+                    kernel_init=kaiming_normal, dtype=self.dtype, name="conv")(y)
+        return y
+
+
+class DenseBlock(nn.Module):
+    """Iterative concat of dense layers. With ``upsample=True`` only the new
+    features are returned (reference models.py:31-53)."""
+    growth_rate: int
+    n_layers: int
+    upsample: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        new_features = []
+        for j in range(self.n_layers):
+            out = DenseLayer(self.growth_rate, dtype=self.dtype,
+                             name=f"layers{j}")(x, train)
+            x = jnp.concatenate([x, out], axis=-1)
+            new_features.append(out)
+        if self.upsample:
+            return jnp.concatenate(new_features, axis=-1)
+        return x
+
+
+class TransitionDown(nn.Module):
+    """BN -> ReLU -> 1x1 conv (same channels) -> 2x2 maxpool.
+    Reference models.py:56-67."""
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = _bn(train, self.dtype, "norm")(x)
+        y = nn.relu(y)
+        y = nn.Conv(x.shape[-1], (1, 1), use_bias=True, kernel_init=kaiming_normal,
+                    dtype=self.dtype, name="conv")(y)
+        return nn.max_pool(y, (2, 2), strides=(2, 2))
+
+
+def center_crop(x, target_h: int, target_w: int):
+    """Center-crop spatial dims of an NHWC tensor. Reference models.py:93-97."""
+    h, w = x.shape[1], x.shape[2]
+    y0 = (h - target_h) // 2
+    x0 = (w - target_w) // 2
+    return x[:, y0:y0 + target_h, x0:x0 + target_w, :]
+
+
+def nearest_upsample_2x(x):
+    """Nearest-neighbor x2 upsample (torch nn.Upsample(mode='nearest'))."""
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
+
+
+class TransitionUp(nn.Module):
+    """nearest-x2 upsample -> 3x3 conv, center-crop to the skip's spatial
+    size, concat [up, skip]. Reference models.py:70-80."""
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip):
+        y = nearest_upsample_2x(x)
+        y = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=True,
+                    kernel_init=kaiming_normal, dtype=self.dtype, name="conv")(y)
+        y = center_crop(y, skip.shape[1], skip.shape[2])
+        return jnp.concatenate([y, skip], axis=-1)
+
+
+class FCDenseNet(nn.Module):
+    """Fully-convolutional DenseNet encoder-decoder.
+
+    Reference models.py:100-187. Output is ``|conv1x1(features)|`` — a
+    nonnegative up-to-scale depth map, NHWC with 1 channel.
+    """
+    down_blocks: Sequence[int] = (5, 5, 5, 5, 5)
+    up_blocks: Sequence[int] = (5, 5, 5, 5, 5)
+    bottleneck_layers: int = 5
+    growth_rate: int = 16
+    out_chans_first_conv: int = 48
+    n_classes: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        out = nn.Conv(self.out_chans_first_conv, (3, 3), padding=1, use_bias=True,
+                      kernel_init=kaiming_normal, dtype=self.dtype,
+                      name="firstconv")(x)
+
+        skips = []
+        for i, n in enumerate(self.down_blocks):
+            out = DenseBlock(self.growth_rate, n, dtype=self.dtype,
+                             name=f"denseBlocksDown{i}")(out, train)
+            skips.append(out)
+            out = TransitionDown(dtype=self.dtype, name=f"transDownBlocks{i}")(out, train)
+
+        out = DenseBlock(self.growth_rate, self.bottleneck_layers, upsample=True,
+                         dtype=self.dtype, name="bottleneck")(out, train)
+
+        for i, n in enumerate(self.up_blocks):
+            skip = skips.pop()
+            out = TransitionUp(out.shape[-1], dtype=self.dtype,
+                               name=f"transUpBlocks{i}")(out, skip)
+            out = DenseBlock(self.growth_rate, n,
+                             upsample=(i < len(self.up_blocks) - 1),
+                             dtype=self.dtype, name=f"denseBlocksUp{i}")(out, train)
+
+        out = nn.Conv(self.n_classes, (1, 1), use_bias=True,
+                      kernel_init=kaiming_normal, dtype=self.dtype,
+                      name="finalConv")(out)
+        return jnp.abs(out).astype(jnp.float32)
+
+
+def FCDenseNet57(n_classes: int = 1, dtype=jnp.float32) -> FCDenseNet:
+    """The configuration used by the reference drivers (models.py:190-194)."""
+    return FCDenseNet(down_blocks=(4, 4, 4, 4, 4), up_blocks=(4, 4, 4, 4, 4),
+                      bottleneck_layers=4, growth_rate=12, out_chans_first_conv=48,
+                      n_classes=n_classes, dtype=dtype)
+
+
+def FCDenseNet67(n_classes: int = 1, dtype=jnp.float32) -> FCDenseNet:
+    """Reference models.py:197-201."""
+    return FCDenseNet(down_blocks=(5, 5, 5, 5, 5), up_blocks=(5, 5, 5, 5, 5),
+                      bottleneck_layers=5, growth_rate=16, out_chans_first_conv=48,
+                      n_classes=n_classes, dtype=dtype)
+
+
+def FCDenseNet103(n_classes: int = 1, dtype=jnp.float32) -> FCDenseNet:
+    """Reference models.py:204-208."""
+    return FCDenseNet(down_blocks=(4, 5, 7, 10, 12), up_blocks=(12, 10, 7, 5, 4),
+                      bottleneck_layers=15, growth_rate=16, out_chans_first_conv=48,
+                      n_classes=n_classes, dtype=dtype)
+
+
+class UNetConvBlock(nn.Module):
+    """(3x3 conv -> ReLU) x2. Reference models.py:267-284."""
+    out_size: int
+    padding: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = 1 if self.padding else 0
+        x = nn.relu(nn.Conv(self.out_size, (3, 3), padding=pad, dtype=self.dtype,
+                            kernel_init=kaiming_normal, name="conv0")(x))
+        x = nn.relu(nn.Conv(self.out_size, (3, 3), padding=pad, dtype=self.dtype,
+                            kernel_init=kaiming_normal, name="conv1")(x))
+        return x
+
+
+class UNet(nn.Module):
+    """Alternative encoder-decoder kept for capability parity
+    (reference models.py:211-264; unused by the reference drivers)."""
+    out_channels: int = 1
+    depth: int = 6
+    wf: int = 6
+    padding: bool = True
+    up_mode: str = "upsample"  # nearest-upsample + conv (TPU-friendly)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train  # UNet has no normalization layers
+        blocks = []
+        for i in range(self.depth):
+            x = UNetConvBlock(2 ** (self.wf + i), self.padding, dtype=self.dtype,
+                              name=f"down{i}")(x)
+            if i != self.depth - 1:
+                blocks.append(x)
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        for i in reversed(range(self.depth - 1)):
+            up = nearest_upsample_2x(x)
+            up = nn.Conv(2 ** (self.wf + i), (3, 3), padding=1, dtype=self.dtype,
+                         kernel_init=kaiming_normal, name=f"up{i}_conv")(up)
+            bridge = blocks.pop()
+            bridge = center_crop(bridge, up.shape[1], up.shape[2])
+            x = UNetConvBlock(2 ** (self.wf + i), self.padding, dtype=self.dtype,
+                              name=f"up{i}_block")(jnp.concatenate([up, bridge], -1))
+        return nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                       kernel_init=kaiming_normal, name="last")(x)

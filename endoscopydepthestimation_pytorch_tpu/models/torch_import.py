@@ -1,0 +1,106 @@
+"""Import reference (PyTorch) FCDenseNet checkpoints into Flax variables.
+
+Lets users of the reference framework bring their trained models
+(``checkpoint_model_epoch_*.pt`` written by reference utils.py:674-682)
+straight into this one. Pure numpy mapping — torch is only needed to
+deserialize ``.pt`` files.
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _conv(weight, bias):
+    # torch OIHW -> flax HWIO
+    return {"kernel": _np(weight).transpose(2, 3, 1, 0), "bias": _np(bias)}
+
+
+def convert_reference_state_dict(state_dict: Mapping[str, "np.ndarray"],
+                                 down_blocks=(4, 4, 4, 4, 4),
+                                 up_blocks=(4, 4, 4, 4, 4),
+                                 bottleneck_layers: int = 4) -> Dict:
+    """Convert a reference FCDenseNet ``state_dict`` (optionally with the
+    DataParallel ``module.`` prefix, reference train.py:197) into
+    ``{'params': ..., 'batch_stats': ...}`` for our Flax FCDenseNet.
+    """
+    sd = {}
+    for key, value in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        sd[key] = value
+
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put_bn(flax_scope, torch_prefix):
+        p = flax_scope.setdefault("norm", {})
+        p["scale"] = _np(sd[f"{torch_prefix}.weight"])
+        p["bias"] = _np(sd[f"{torch_prefix}.bias"])
+        s = stats
+        for part in flax_scope["__path__"]:
+            s = s.setdefault(part, {})
+        s["norm"] = {"mean": _np(sd[f"{torch_prefix}.running_mean"]),
+                     "var": _np(sd[f"{torch_prefix}.running_var"])}
+
+    def scope(*path):
+        node = params
+        for part in path:
+            node = node.setdefault(part, {})
+        node["__path__"] = path
+        return node
+
+    params["firstconv"] = _conv(sd["firstconv.weight"], sd["firstconv.bias"])
+
+    def dense_block(flax_name, torch_prefix, n_layers):
+        for j in range(n_layers):
+            layer = scope(flax_name, f"layers{j}")
+            put_bn(layer, f"{torch_prefix}.layers.{j}.norm")
+            layer["conv"] = _conv(sd[f"{torch_prefix}.layers.{j}.conv.weight"],
+                                  sd[f"{torch_prefix}.layers.{j}.conv.bias"])
+
+    for i, n in enumerate(down_blocks):
+        dense_block(f"denseBlocksDown{i}", f"denseBlocksDown.{i}", n)
+        td = scope(f"transDownBlocks{i}")
+        put_bn(td, f"transDownBlocks.{i}.norm")
+        td["conv"] = _conv(sd[f"transDownBlocks.{i}.conv.weight"],
+                           sd[f"transDownBlocks.{i}.conv.bias"])
+
+    dense_block("bottleneck", "bottleneck.bottleneck", bottleneck_layers)
+
+    for i, n in enumerate(up_blocks):
+        tu = scope(f"transUpBlocks{i}")
+        tu["conv"] = _conv(sd[f"transUpBlocks.{i}.convTrans.1.weight"],
+                           sd[f"transUpBlocks.{i}.convTrans.1.bias"])
+        dense_block(f"denseBlocksUp{i}", f"denseBlocksUp.{i}", n)
+
+    params["finalConv"] = _conv(sd["finalConv.weight"], sd["finalConv.bias"])
+
+    def strip(node):
+        if isinstance(node, dict):
+            node.pop("__path__", None)
+            for v in node.values():
+                strip(v)
+
+    strip(params)
+    return {"params": params, "batch_stats": stats}
+
+
+def load_reference_checkpoint(path, down_blocks=(4, 4, 4, 4, 4),
+                              up_blocks=(4, 4, 4, 4, 4), bottleneck_layers: int = 4):
+    """Load a reference ``.pt`` checkpoint file (requires torch)."""
+    import torch  # local import: torch only needed for deserialization
+    state = torch.load(str(path), map_location="cpu", weights_only=False)
+    model_sd = state["model"] if isinstance(state, dict) and "model" in state else state
+    variables = convert_reference_state_dict(model_sd, down_blocks, up_blocks,
+                                             bottleneck_layers)
+    meta = {k: state.get(k) for k in ("epoch", "step", "validation")} \
+        if isinstance(state, dict) else {}
+    return variables, meta

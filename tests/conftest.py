@@ -6,10 +6,20 @@ hardware (the driver separately compile-checks on real hardware).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU with 8 virtual devices. NOTE: the axon environment pre-imports
+# jax in sitecustomize and exports JAX_PLATFORMS=axon, so a plain env
+# setdefault is NOT enough — override the env and the live jax config.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pathlib
 import sys

@@ -1,0 +1,129 @@
+"""FCDenseNet architecture parity: parameter counts, shapes, and — with
+weights transferred — numerical agreement with the reference torch model
+(run on CPU as the oracle)."""
+import importlib.util
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from endoscopydepthestimation_pytorch_tpu.models import (
+    FCDenseNet57, FCDenseNet103, UNet, convert_reference_state_dict)
+
+
+def _load_reference_models():
+    """Import the reference torch model definitions (model classes only;
+    they are CPU-safe — only the geometry layers hardcode .cuda())."""
+    torch = pytest.importorskip("torch")
+    spec = importlib.util.spec_from_file_location("ref_models", "/root/reference/models.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_models"] = mod
+    spec.loader.exec_module(mod)
+    return torch, mod
+
+
+def _init(model, shape, train=False):
+    """jit the init: eager flax init compiles every conv shape separately
+    (~2 min on CPU); a jitted init compiles the whole graph once."""
+    return jax.jit(lambda k: model.init(k, jnp.zeros(shape), train=train))(
+        jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def flax_57():
+    model = FCDenseNet57(n_classes=1)
+    return model, _init(model, (1, 64, 64, 3))
+
+
+def test_output_shape_and_nonnegativity(flax_57):
+    model, variables = flax_57
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    y = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    assert y.shape == (2, 64, 64, 1)
+    assert (np.asarray(y) >= 0).all()
+    assert y.dtype == jnp.float32
+
+
+def test_param_count_matches_torch(flax_57):
+    torch, ref = _load_reference_models()
+    tmodel = ref.FCDenseNet57(n_classes=1)
+    torch_params = sum(p.numel() for p in tmodel.parameters())
+    _, variables = flax_57
+    flax_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    assert flax_params == torch_params
+
+
+def test_forward_matches_torch_with_transferred_weights(flax_57):
+    torch, ref = _load_reference_models()
+    torch.manual_seed(0)
+    tmodel = ref.FCDenseNet57(n_classes=1)
+    tmodel.eval()
+
+    variables = convert_reference_state_dict(tmodel.state_dict())
+    model, init_vars = flax_57
+    # converted trees must structurally match the initialized ones
+    assert (jax.tree_util.tree_structure(init_vars["params"]) ==
+            jax.tree_util.tree_structure(jax.tree.map(jnp.asarray, variables["params"])))
+
+    x = np.random.RandomState(0).randn(2, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        ty = tmodel(torch.from_numpy(x)).numpy()
+    fy = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        {"params": jax.tree.map(jnp.asarray, variables["params"]),
+         "batch_stats": jax.tree.map(jnp.asarray, variables["batch_stats"])},
+        jnp.asarray(x.transpose(0, 2, 3, 1)))
+    fy = np.asarray(fy).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(fy, ty, rtol=2e-4, atol=2e-5)
+
+
+def test_train_mode_updates_batch_stats(flax_57):
+    model, variables = flax_57
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3)) * 3 + 1
+    y, mutated = jax.jit(
+        lambda v, x: model.apply(v, x, train=True, mutable=["batch_stats"]))(variables, x)
+    old = jax.tree.leaves(variables["batch_stats"])
+    new = jax.tree.leaves(mutated["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_odd_input_sizes_center_crop():
+    # 5 maxpools => inputs must be multiples of 32; 64-multiples are the
+    # contract (network_downsampling=64), check one non-square size
+    model = FCDenseNet57(n_classes=1)
+    variables = _init(model, (1, 128, 192, 3))
+    y = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, jnp.zeros((1, 128, 192, 3)))
+    assert y.shape == (1, 128, 192, 1)
+
+
+def test_fcdensenet103_param_count():
+    torch, ref = _load_reference_models()
+    tmodel = ref.FCDenseNet103(n_classes=1)
+    torch_params = sum(p.numel() for p in tmodel.parameters())
+    model = FCDenseNet103(n_classes=1)
+    variables = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 64, 64, 3)), train=False),
+        jax.random.PRNGKey(0))
+    flax_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    assert flax_params == torch_params
+
+
+def test_unet_shapes():
+    model = UNet(out_channels=1, depth=4, wf=4)
+    variables = jax.jit(lambda k: model.init(k, jnp.zeros((1, 64, 64, 3))))(
+        jax.random.PRNGKey(0))
+    y = jax.jit(model.apply)(variables, jnp.zeros((2, 64, 64, 3)))
+    assert y.shape == (2, 64, 64, 1)
+
+
+def test_kaiming_init_statistics():
+    """Conv kernels follow std=sqrt(2/fan_in) (reference utils.py:655-671)."""
+    model = FCDenseNet57(n_classes=1)
+    variables = _init(model, (1, 64, 64, 3))
+    k = variables["params"]["firstconv"]["kernel"]  # (3, 3, 3, 48)
+    fan_in = 3 * 3 * 3
+    std = float(np.std(np.asarray(k)))
+    assert abs(std - np.sqrt(2.0 / fan_in)) < 0.05
+    assert np.allclose(variables["params"]["firstconv"]["bias"], 0.0)
