@@ -1,0 +1,253 @@
+"""End-to-end jitted training/validation steps (layer L4 core).
+
+One ``train_step`` fuses: both model forwards (the frame pair is stacked
+into a single 2B batch for one MXU-friendly forward), scale recovery,
+flow-from-depth, depth warping, SFL + DCL, cyclic-LR SGD with global-norm
+clipping, and the non-finite-loss guard — a single XLA program with no
+host round-trips (the reference runs this as ~10 separate CUDA launches
+per iteration, train.py:244-328).
+
+Non-finite handling: the reference skips the optimizer step when the loss
+is NaN/Inf but still runs the forward (so BN running stats advance) and
+does not advance the global step (train.py:317-322, 339). We reproduce
+that exactly with ``optax.apply_if_finite`` + an explicit loss-finiteness
+gate — all inside jit via ``jnp.where`` selects, no host sync.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from . import losses
+from .ops import geometry
+from .schedule import make_cyclic_schedule
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Hyperparameters of the self-supervised objective.
+
+    Defaults mirror the reference CLI (train.py:42-57).
+    """
+    sfl_weight: float = 20.0
+    dcl_weight: float = 5.0
+    dcl_warmup_weight: float = 0.1      # epochs <= dcl_warmup_epochs
+    dcl_warmup_epochs: int = 20         # reference train.py:239-242
+    max_lr: float = 1.0e-3
+    min_lr: float = 1.0e-4
+    lr_step_size: int = 1000            # half-cycle = num_iter (train.py:203)
+    momentum: float = 0.9
+    grad_clip_norm: float = 10.0        # reference train.py:327
+    zero_division_epsilon: float = 1.0e-8
+    compute_dtype: Any = jnp.float32    # set bfloat16 for TPU-native speed
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    apply_fn: Any = struct.field(pytree_node=False)
+    tx: Any = struct.field(pytree_node=False)
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    """clip-by-global-norm(10) -> SGD(momentum 0.9, cyclic LR), with
+    non-finite-gradient step skipping (matching the reference's NaN guard,
+    train.py:317-328; torch SGD's buf = m*buf + g; p -= lr*buf equals
+    optax's trace + scale_by_learning_rate)."""
+    schedule = make_cyclic_schedule(config.min_lr, config.max_lr, config.lr_step_size)
+    inner = optax.chain(
+        optax.clip_by_global_norm(config.grad_clip_norm),
+        optax.sgd(learning_rate=schedule, momentum=config.momentum),
+    )
+    return optax.apply_if_finite(inner, max_consecutive_errors=10 ** 8)
+
+
+def create_train_state(model, rng, input_shape: Tuple[int, ...],
+                       config: TrainConfig) -> TrainState:
+    """Initialize parameters/batch-stats (Kaiming init happens inside the
+    model definition) and the optimizer state."""
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros(input_shape, jnp.float32), train=False)
+    )(rng)
+    tx = make_optimizer(config)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        apply_fn=model.apply,
+        tx=tx)
+
+
+def _forward_pair(apply_fn, params, batch_stats, batch, train: bool):
+    """Single fused forward over both frames: stack to (2B, H, W, 3).
+
+    The reference runs two separate forwards (train.py:276-277); stacking
+    doubles the matmul batch for the MXU and halves kernel launches. Note
+    train-mode BN then normalizes over both frames jointly — documented
+    deviation from DataParallel's per-replica/per-frame stats.
+    """
+    boundaries = batch["boundary"]
+    colors = jnp.concatenate([batch["color_1"], batch["color_2"]], axis=0)
+    colors = colors * jnp.concatenate([boundaries, boundaries], axis=0)
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        depths, mutated = apply_fn(variables, colors, train=True,
+                                   mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        depths = apply_fn(variables, colors, train=False)
+        new_stats = batch_stats
+    d1, d2 = jnp.split(depths, 2, axis=0)
+    return d1, d2, new_stats
+
+
+def compute_losses(d1, d2, batch, sfl_weight, dcl_weight, epsilon: float):
+    """The self-supervised objective given the two raw depth predictions.
+
+    Mirrors the reference iteration body (train.py:279-315): scale
+    recovery, flow-from-depth vs sparse flow (SFL), bidirectional depth
+    warping vs prediction (DCL).
+    """
+    boundaries = batch["boundary"]
+    intrinsics = batch["intrinsic"]
+
+    scaled_1, std_1 = geometry.scale_recovery(
+        d1, batch["sparse_depth_1"], batch["depth_mask_1"], epsilon)
+    scaled_2, std_2 = geometry.scale_recovery(
+        d2, batch["sparse_depth_2"], batch["depth_mask_2"], epsilon)
+
+    flows_from_depth_1 = geometry.flow_from_depth(
+        scaled_1, boundaries, batch["translation_1_wrt_2"],
+        batch["rotation_1_wrt_2"], intrinsics) * boundaries
+    flows_from_depth_2 = geometry.flow_from_depth(
+        scaled_2, boundaries, batch["translation_2_wrt_1"],
+        batch["rotation_2_wrt_1"], intrinsics) * boundaries
+
+    sfl = sfl_weight * 0.5 * (
+        losses.sparse_masked_l1_loss(batch["flow_1"] * boundaries,
+                                     flows_from_depth_1,
+                                     batch["flow_mask_1"] * boundaries) +
+        losses.sparse_masked_l1_loss(batch["flow_2"] * boundaries,
+                                     flows_from_depth_2,
+                                     batch["flow_mask_2"] * boundaries))
+
+    warped_2_to_1, intersect_1 = geometry.warp_depth(
+        scaled_1, scaled_2, boundaries, batch["translation_1_wrt_2"],
+        batch["rotation_1_wrt_2"], intrinsics, epsilon)
+    warped_1_to_2, intersect_2 = geometry.warp_depth(
+        scaled_2, scaled_1, boundaries, batch["translation_2_wrt_1"],
+        batch["rotation_2_wrt_1"], intrinsics, epsilon)
+
+    dcl = dcl_weight * 0.5 * (
+        losses.normalized_distance_loss(scaled_1, warped_2_to_1, intersect_1, intrinsics) +
+        losses.normalized_distance_loss(scaled_2, warped_1_to_2, intersect_2, intrinsics))
+
+    aux = {
+        "sparse_flow_loss": sfl,
+        "depth_consistency_loss": dcl,
+        "scale_std_1": std_1,
+        "scale_std_2": std_2,
+        "scaled_depth_1": scaled_1,
+        "scaled_depth_2": scaled_2,
+        "flows_from_depth_1": flows_from_depth_1,
+        "flows_from_depth_2": flows_from_depth_2,
+        "warped_depth_2_to_1": warped_2_to_1,
+        "intersect_masks_1": intersect_1,
+    }
+    return sfl + dcl, aux
+
+
+def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+               dcl_weight: jnp.ndarray, config: TrainConfig
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One fully-fused optimization step. ``dcl_weight`` is a traced scalar
+    so the warmup switch (train.py:239-242) never recompiles."""
+    eps = config.zero_division_epsilon
+
+    def loss_fn(params):
+        d1, d2, new_stats = _forward_pair(state.apply_fn, params,
+                                          state.batch_stats, batch, train=True)
+        loss, aux = compute_losses(d1, d2, batch, config.sfl_weight, dcl_weight, eps)
+        return loss, (new_stats, aux)
+
+    (loss, (new_stats, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+    # Loss-finiteness gate on top of optax's gradient gate: zero the grads
+    # when the loss is non-finite so apply_if_finite's inner state (momentum,
+    # schedule count) is untouched — the reference neither updates params
+    # nor advances the step counter in that case (train.py:317-322, 339).
+    finite = jnp.isfinite(loss)
+    grads = jax.tree.map(
+        lambda g: jnp.where(finite, g, jnp.full_like(g, jnp.nan)), grads)
+    updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    new_state = state.replace(
+        step=state.step + finite.astype(jnp.int32),
+        params=new_params,
+        batch_stats=new_stats,  # BN stats advance even on skipped steps
+        opt_state=new_opt_state)
+
+    metrics = {
+        "loss": loss,
+        "sparse_flow_loss": aux["sparse_flow_loss"],
+        "depth_consistency_loss": aux["depth_consistency_loss"],
+        "scale_std": 0.5 * (aux["scale_std_1"] + aux["scale_std_2"]),
+        "finite": finite.astype(jnp.float32),
+        "grad_norm": optax.global_norm(grads),
+    }
+    return new_state, metrics
+
+
+def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+              dcl_weight: jnp.ndarray, config: TrainConfig,
+              with_images: bool = False) -> Dict[str, jnp.ndarray]:
+    """Validation step: same objective, no gradient, running BN stats
+    (reference train.py:378-445)."""
+    d1, d2, _ = _forward_pair(state.apply_fn, state.params, state.batch_stats,
+                              batch, train=False)
+    loss, aux = compute_losses(d1, d2, batch, config.sfl_weight, dcl_weight,
+                               config.zero_division_epsilon)
+    metrics = {
+        "loss": loss,
+        "sparse_flow_loss": aux["sparse_flow_loss"],
+        "depth_consistency_loss": aux["depth_consistency_loss"],
+    }
+    if with_images:
+        metrics.update({k: aux[k] for k in
+                        ("scaled_depth_1", "scaled_depth_2", "flows_from_depth_1",
+                         "flows_from_depth_2", "warped_depth_2_to_1",
+                         "intersect_masks_1")})
+    return metrics
+
+
+def predict_step(state: TrainState, colors: jnp.ndarray,
+                 boundaries: jnp.ndarray) -> jnp.ndarray:
+    """Test-phase depth inference: model(boundary * color) with running BN
+    stats (reference evaluate.py:322-327)."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return state.apply_fn(variables, colors * boundaries, train=False)
+
+
+def make_jit_train_step(config: TrainConfig):
+    """jit with donated state so XLA reuses parameter/optimizer buffers."""
+    return jax.jit(partial(train_step, config=config), donate_argnums=0)
+
+
+def make_jit_eval_step(config: TrainConfig, with_images: bool = False):
+    return jax.jit(partial(eval_step, config=config, with_images=with_images))
+
+
+def dcl_weight_for_epoch(epoch: int, config: TrainConfig) -> float:
+    """DCL warmup (reference train.py:239-242)."""
+    return (config.dcl_warmup_weight if epoch <= config.dcl_warmup_epochs
+            else config.dcl_weight)
