@@ -124,31 +124,37 @@ class FCDenseNet(nn.Module):
     out_chans_first_conv: int = 48
     n_classes: int = 1
     dtype: Dtype = jnp.float32
+    remat: bool = False  # rematerialize dense blocks in backward (the
+    # standard memory fix for DenseNet's O(L^2) concat activations; trades
+    # ~30% extra forward FLOPs for fitting batch 8 @ 256x320 in 16G HBM)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
+        # static_argnums=(2,) marks the `train` bool (args: self, x, train)
+        block_cls = (nn.remat(DenseBlock, static_argnums=(2,))
+                     if self.remat else DenseBlock)
         out = nn.Conv(self.out_chans_first_conv, (3, 3), padding=1, use_bias=True,
                       kernel_init=kaiming_normal, dtype=self.dtype,
                       name="firstconv")(x)
 
         skips = []
         for i, n in enumerate(self.down_blocks):
-            out = DenseBlock(self.growth_rate, n, dtype=self.dtype,
-                             name=f"denseBlocksDown{i}")(out, train)
+            out = block_cls(self.growth_rate, n, dtype=self.dtype,
+                            name=f"denseBlocksDown{i}")(out, train)
             skips.append(out)
             out = TransitionDown(dtype=self.dtype, name=f"transDownBlocks{i}")(out, train)
 
-        out = DenseBlock(self.growth_rate, self.bottleneck_layers, upsample=True,
-                         dtype=self.dtype, name="bottleneck")(out, train)
+        out = block_cls(self.growth_rate, self.bottleneck_layers, upsample=True,
+                        dtype=self.dtype, name="bottleneck")(out, train)
 
         for i, n in enumerate(self.up_blocks):
             skip = skips.pop()
             out = TransitionUp(out.shape[-1], dtype=self.dtype,
                                name=f"transUpBlocks{i}")(out, skip)
-            out = DenseBlock(self.growth_rate, n,
-                             upsample=(i < len(self.up_blocks) - 1),
-                             dtype=self.dtype, name=f"denseBlocksUp{i}")(out, train)
+            out = block_cls(self.growth_rate, n,
+                            upsample=(i < len(self.up_blocks) - 1),
+                            dtype=self.dtype, name=f"denseBlocksUp{i}")(out, train)
 
         out = nn.Conv(self.n_classes, (1, 1), use_bias=True,
                       kernel_init=kaiming_normal, dtype=self.dtype,
@@ -156,25 +162,25 @@ class FCDenseNet(nn.Module):
         return jnp.abs(out).astype(jnp.float32)
 
 
-def FCDenseNet57(n_classes: int = 1, dtype=jnp.float32) -> FCDenseNet:
+def FCDenseNet57(n_classes: int = 1, dtype=jnp.float32, remat: bool = False) -> FCDenseNet:
     """The configuration used by the reference drivers (models.py:190-194)."""
     return FCDenseNet(down_blocks=(4, 4, 4, 4, 4), up_blocks=(4, 4, 4, 4, 4),
                       bottleneck_layers=4, growth_rate=12, out_chans_first_conv=48,
-                      n_classes=n_classes, dtype=dtype)
+                      n_classes=n_classes, dtype=dtype, remat=remat)
 
 
-def FCDenseNet67(n_classes: int = 1, dtype=jnp.float32) -> FCDenseNet:
+def FCDenseNet67(n_classes: int = 1, dtype=jnp.float32, remat: bool = False) -> FCDenseNet:
     """Reference models.py:197-201."""
     return FCDenseNet(down_blocks=(5, 5, 5, 5, 5), up_blocks=(5, 5, 5, 5, 5),
                       bottleneck_layers=5, growth_rate=16, out_chans_first_conv=48,
-                      n_classes=n_classes, dtype=dtype)
+                      n_classes=n_classes, dtype=dtype, remat=remat)
 
 
-def FCDenseNet103(n_classes: int = 1, dtype=jnp.float32) -> FCDenseNet:
+def FCDenseNet103(n_classes: int = 1, dtype=jnp.float32, remat: bool = False) -> FCDenseNet:
     """Reference models.py:204-208."""
     return FCDenseNet(down_blocks=(4, 5, 7, 10, 12), up_blocks=(12, 10, 7, 5, 4),
                       bottleneck_layers=15, growth_rate=16, out_chans_first_conv=48,
-                      n_classes=n_classes, dtype=dtype)
+                      n_classes=n_classes, dtype=dtype, remat=remat)
 
 
 class UNetConvBlock(nn.Module):

@@ -19,7 +19,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .gridsample import grid_sample_nhwc
+from .gridsample import grid_sample, grid_sample_nhwc
 
 MASKED_DEPTH_SENTINEL = 1.0e30  # reference models.py:410
 
@@ -147,8 +147,12 @@ def warp_depth(depth_maps_1: jnp.ndarray, depth_maps_2: jnp.ndarray,
 
     u2f = u2[..., 0]
     v2f = v2[..., 0]
-    warped = grid_sample_nhwc(d1_in_2, u2f, v2f, align_corners=align_corners)
-    sampled_mask = grid_sample_nhwc(img_masks, u2f, v2f, align_corners=align_corners)
+    # sample depth and mask in ONE call (2 channels): halves the one-hot
+    # matrix construction on the TPU path
+    stacked = jnp.concatenate([d1_in_2, img_masks], axis=-1)
+    sampled = grid_sample(stacked, u2f, v2f, align_corners=align_corners)
+    warped = sampled[..., 0:1]
+    sampled_mask = sampled[..., 1:2]
     intersect = (sampled_mask * img_masks >= 0.9).astype(depth_maps_1.dtype)
     return warped, intersect
 

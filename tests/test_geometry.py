@@ -217,3 +217,35 @@ def test_warp_depth_cycle_consistency():
     d_in = depth[0, 8:-8, 8:-8, 0][inner]
     # small pose => warped depth close to original scale
     assert np.abs(w_in - d_in).mean() < 0.25
+
+
+def test_mxu_grid_sample_matches_gather_path():
+    """The one-hot-matmul sampler must agree with the gather sampler
+    (and therefore with torch) everywhere, including OOB zeros padding."""
+    from endoscopydepthestimation_pytorch_tpu.ops.gridsample import grid_sample_nhwc_mxu
+    rng = np.random.RandomState(7)
+    for c in (1, 2, 3):
+        image = rng.randn(2, 24, 32, c).astype(np.float32)
+        x = rng.uniform(-4, 36, (2, 24, 32)).astype(np.float32)
+        y = rng.uniform(-4, 28, (2, 24, 32)).astype(np.float32)
+        a = np.asarray(grid_sample_nhwc(jnp.asarray(image), jnp.asarray(x), jnp.asarray(y)))
+        b = np.asarray(grid_sample_nhwc_mxu(jnp.asarray(image), jnp.asarray(x), jnp.asarray(y)))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_mxu_grid_sample_nonmultiple_rows_and_grads():
+    from endoscopydepthestimation_pytorch_tpu.ops.gridsample import grid_sample_nhwc_mxu
+    rng = np.random.RandomState(8)
+    image = rng.randn(1, 13, 17, 1).astype(np.float32)
+    x = rng.uniform(0, 16, (1, 13, 17)).astype(np.float32)
+    y = rng.uniform(0, 12, (1, 13, 17)).astype(np.float32)
+    a = np.asarray(grid_sample_nhwc(jnp.asarray(image), jnp.asarray(x), jnp.asarray(y)))
+    b = np.asarray(grid_sample_nhwc_mxu(jnp.asarray(image), jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    # gradients agree between the two paths (image and coords)
+    ga = jax.grad(lambda im, xx, yy: grid_sample_nhwc(im, xx, yy).sum(), argnums=(0, 1, 2))(
+        jnp.asarray(image), jnp.asarray(x), jnp.asarray(y))
+    gb = jax.grad(lambda im, xx, yy: grid_sample_nhwc_mxu(im, xx, yy).sum(), argnums=(0, 1, 2))(
+        jnp.asarray(image), jnp.asarray(x), jnp.asarray(y))
+    for u, v in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), rtol=1e-3, atol=1e-4)
