@@ -35,6 +35,17 @@ def make_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) ->
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_for_batch(batch_size: int, devices: Optional[Sequence] = None,
+                        axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D mesh over the largest device count that divides the global batch
+    (a 2-sample debug batch on an 8-chip host uses 2 chips, not 8)."""
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis sharded over the data axis, rest replicated."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -1,0 +1,246 @@
+"""Self-supervised depth training driver (CLI parity with the reference).
+
+Accepts the reference's exact flags (train.py:32-75 there) plus TPU-native
+extras (--compute_dtype, --remat, --rgb_mode). The hot loop is one fused
+jitted step on a 1-D data mesh over all local chips; host threads rasterize
+and prefetch batches; metrics are read back one step late so the device
+never waits on the (slow) host link.
+
+Example (mirrors the reference README):
+  python train.py --adjacent_range 5 30 --id_range 1 2 --input_size 256 320 \
+      --batch_size 8 --num_iter 1000 --number_epoch 100 \
+      --training_patient_id 1 --testing_patient_id 1 --validation_patient_id 1 \
+      --training_result_root /tmp/run --training_data_root <data root>
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import random
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from endoscopydepthestimation_pytorch_tpu import training
+from endoscopydepthestimation_pytorch_tpu.data import readers
+from endoscopydepthestimation_pytorch_tpu.data.augment import TrainingAugmentation
+from endoscopydepthestimation_pytorch_tpu.data.dataset import BatchLoader, SfMDataset
+from endoscopydepthestimation_pytorch_tpu.models import (FCDenseNet57, FCDenseNet67,
+                                                         FCDenseNet103)
+from endoscopydepthestimation_pytorch_tpu.parallel import (make_mesh_for_batch,
+                                                           make_parallel_eval_step,
+                                                           make_parallel_train_step,
+                                                           replicate_state, shard_batch)
+from endoscopydepthestimation_pytorch_tpu.utils import checkpoint as ckpt
+from endoscopydepthestimation_pytorch_tpu.utils import visualization as viz
+
+MODELS = {"fcdensenet57": FCDenseNet57, "fcdensenet67": FCDenseNet67,
+          "fcdensenet103": FCDenseNet103}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Self-supervised Depth Estimation on Monocular Endoscopy "
+                    "Dataset -- Train (TPU)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--adjacent_range", nargs="+", type=int, required=True,
+                   help="interval range for a pair of video frames")
+    p.add_argument("--id_range", nargs="+", type=int, required=True,
+                   help="id range for the training and testing dataset")
+    p.add_argument("--input_downsampling", type=float, default=4.0,
+                   help="image downsampling rate")
+    p.add_argument("--input_size", nargs="+", type=int, required=True,
+                   help="resolution of network input")
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="GLOBAL batch size (split across chips)")
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="host loader threads")
+    p.add_argument("--num_pre_workers", type=int, default=8,
+                   help="processes for preprocessing intermediate data")
+    p.add_argument("--dcl_weight", type=float, default=5.0,
+                   help="weight for depth consistency loss after warmup")
+    p.add_argument("--sfl_weight", type=float, default=20.0,
+                   help="weight for sparse flow loss")
+    p.add_argument("--max_lr", type=float, default=1.0e-3)
+    p.add_argument("--min_lr", type=float, default=1.0e-4)
+    p.add_argument("--num_iter", type=int, default=1000,
+                   help="iterations per epoch (also the cyclic-LR half cycle)")
+    p.add_argument("--network_downsampling", type=int, default=64)
+    p.add_argument("--inlier_percentage", type=float, default=0.99)
+    p.add_argument("--validation_interval", type=int, default=1)
+    p.add_argument("--zero_division_epsilon", type=float, default=1.0e-8)
+    p.add_argument("--display_interval", type=int, default=10)
+    p.add_argument("--training_patient_id", nargs="+", required=True)
+    p.add_argument("--testing_patient_id", nargs="+", required=True)
+    p.add_argument("--validation_patient_id", nargs="+", required=True)
+    p.add_argument("--load_intermediate_data", action="store_true")
+    p.add_argument("--load_trained_model", action="store_true")
+    p.add_argument("--number_epoch", type=int, required=True)
+    p.add_argument("--visibility_overlap", type=int, default=30)
+    p.add_argument("--use_hsv_colorspace", action="store_true")
+    p.add_argument("--training_result_root", type=str, required=True)
+    p.add_argument("--training_data_root", type=str, required=True)
+    p.add_argument("--architecture_summary", action="store_true")
+    p.add_argument("--trained_model_path", type=str, default=None)
+    # TPU-native extras
+    p.add_argument("--architecture", type=str, default="fcdensenet57",
+                   choices=sorted(MODELS))
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize dense blocks (needed for fp32 batch 8)")
+    p.add_argument("--rgb_mode", type=str, default="rgb")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    height, width = args.input_size
+
+    np.random.seed(10085)
+    random.seed(10085)
+
+    now = datetime.datetime.now()
+    log_root = Path(args.training_result_root) / (
+        "depth_estimation_train_run_{}_{}_{}_{}_test_id_{}".format(
+            now.month, now.day, now.hour, now.minute,
+            "_".join(str(i) for i in args.testing_patient_id)))
+    log_root.mkdir(parents=True, exist_ok=True)
+    writer = viz.MetricWriter(log_root)
+    print(f"Logs at {log_root}")
+
+    data_root = Path(args.training_data_root)
+    train_files, val_files, _ = readers.get_color_file_names_by_bag(
+        data_root, args.training_patient_id, args.validation_patient_id,
+        args.testing_patient_id)
+    folders = readers.get_parent_folder_names(data_root, args.id_range)
+
+    transform = TrainingAugmentation(seed=10085)
+    train_dataset = SfMDataset(
+        image_file_names=train_files, folder_list=folders,
+        adjacent_range=args.adjacent_range, transform=transform,
+        downsampling=args.input_downsampling,
+        network_downsampling=args.network_downsampling,
+        inlier_percentage=args.inlier_percentage,
+        visible_interval=args.visibility_overlap,
+        use_store_data=args.load_intermediate_data, store_data_root=data_root,
+        phase="train", is_hsv=args.use_hsv_colorspace,
+        num_pre_workers=args.num_pre_workers, rgb_mode=args.rgb_mode,
+        num_iter=args.num_iter)  # samples per epoch (reference train.py:51)
+    val_dataset = SfMDataset(
+        image_file_names=val_files, folder_list=folders,
+        adjacent_range=args.adjacent_range, transform=None,
+        downsampling=args.input_downsampling,
+        network_downsampling=args.network_downsampling,
+        inlier_percentage=args.inlier_percentage,
+        visible_interval=args.visibility_overlap,
+        use_store_data=True, store_data_root=data_root,
+        phase="validation", is_hsv=args.use_hsv_colorspace,
+        num_pre_workers=args.num_pre_workers, rgb_mode=args.rgb_mode)
+
+    train_loader = BatchLoader(train_dataset, args.batch_size, shuffle=True,
+                               seed=10085)
+    val_loader = BatchLoader(val_dataset, args.batch_size, shuffle=False,
+                             seed=10085, drop_last=True)
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    model = MODELS[args.architecture](n_classes=1, dtype=dtype, remat=args.remat)
+    config = training.TrainConfig(
+        sfl_weight=args.sfl_weight, dcl_weight=args.dcl_weight,
+        max_lr=args.max_lr, min_lr=args.min_lr, lr_step_size=args.num_iter,
+        zero_division_epsilon=args.zero_division_epsilon, compute_dtype=dtype)
+
+    state = training.create_train_state(model, jax.random.PRNGKey(10085),
+                                        (1, height, width, 3), config)
+    if args.architecture_summary:
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+        print(f"{args.architecture}: {n_params:,} parameters, input "
+              f"{height}x{width}, dtype {args.compute_dtype}")
+
+    start_epoch = 0
+    if args.load_trained_model:
+        if args.trained_model_path is None or not Path(args.trained_model_path).exists():
+            raise OSError("No trained model detected")
+        state, start_epoch, _ = ckpt.load_any_checkpoint(args.trained_model_path, state)
+        print(f"Restored model, epoch {start_epoch}, step {int(state.step)}")
+
+    mesh = make_mesh_for_batch(args.batch_size)
+    print(f"Data-parallel mesh over {len(mesh.devices.ravel())} device(s)")
+    state = replicate_state(state, mesh)
+    train_step = make_parallel_train_step(config, mesh)
+    eval_step = make_parallel_eval_step(config, mesh, with_images=True)
+
+    mean_sfl = 0.0
+    for epoch in range(start_epoch, args.number_epoch + 1):
+        train_dataset.seed(10086 + epoch)
+        train_loader.set_epoch(epoch)
+        dcl_weight = jnp.asarray(training.dcl_weight_for_epoch(epoch, config),
+                                 jnp.float32)
+
+        pending = None  # one-step-delayed metric readback
+        means = {}
+        count = 0
+        for batch_idx, batch in enumerate(train_loader):
+            device_batch = shard_batch(batch, mesh)
+            state, metrics = train_step(state, device_batch, dcl_weight)
+            if pending is not None:
+                vals = {k: float(v) for k, v in pending.items()
+                        if k in ("loss", "sparse_flow_loss", "depth_consistency_loss")}
+                count += 1
+                for k, v in vals.items():
+                    means[k] = means.get(k, 0.0) + (v - means.get(k, 0.0)) / count
+                step_idx = int(state.step)
+                writer.add_scalars("Training", {
+                    "overall": means["loss"],
+                    "depth_consistency": means["depth_consistency_loss"],
+                    "sparse_flow": means["sparse_flow_loss"]}, step_idx)
+                if batch_idx % 50 == 0:
+                    print(f"epoch {epoch} it {batch_idx} "
+                          f"loss {vals['loss']:.5f} (avg {means['loss']:.5f}) "
+                          f"sfl {vals['sparse_flow_loss']:.5f} "
+                          f"dcl {vals['depth_consistency_loss']:.5f}")
+            pending = metrics
+        if pending is not None:
+            print(f"epoch {epoch} final loss {float(pending['loss']):.5f}")
+
+        if epoch % args.validation_interval != 0:
+            continue
+
+        # validation (reference train.py:378-485)
+        val_means = {}
+        n = 0
+        for batch_idx, batch in enumerate(val_loader):
+            device_batch = shard_batch(batch, mesh)
+            metrics = eval_step(state, device_batch, dcl_weight)
+            n += 1
+            for k in ("loss", "sparse_flow_loss", "depth_consistency_loss"):
+                v = float(metrics[k])
+                val_means[k] = val_means.get(k, 0.0) + (v - val_means.get(k, 0.0)) / n
+            if batch_idx % args.display_interval == 0:
+                panels = viz.training_panel(
+                    np.asarray(batch["color_1"]),
+                    np.asarray(metrics["scaled_depth_1"]) * batch["boundary"],
+                    batch["flow_1"] * batch["boundary"],
+                    np.asarray(metrics["flows_from_depth_1"]),
+                    is_hsv=args.use_hsv_colorspace)
+                writer.add_image("Validation/Images/Results",
+                                 viz.stack_panels(panels), int(state.step))
+        if val_means:
+            writer.add_scalars("Validation", {
+                "overall": val_means["loss"],
+                "depth_consistency": val_means["depth_consistency_loss"],
+                "sparse_flow": val_means["sparse_flow_loss"]}, epoch)
+        mean_sfl = val_means.get("sparse_flow_loss", mean_sfl)
+
+        model_path = log_root / f"checkpoint_model_epoch_{epoch}_validation_{mean_sfl}"
+        ckpt.save_checkpoint(model_path, state, epoch + 1, mean_sfl)
+        writer.export_scalars_to_json(log_root / f"all_scalars_{epoch}.json")
+        print(f"epoch {epoch}: validation sfl {mean_sfl:.5f}, saved {model_path}")
+
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()
