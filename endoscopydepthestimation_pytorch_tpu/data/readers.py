@@ -182,6 +182,32 @@ def get_color_file_names_by_bag(root, training_patient_id, validation_patient_id
     return _glob(training_patient_id), _glob(validation_patient_id), _glob(testing_patient_id)
 
 
+def get_color_file_names(root, split_ratio=(0.9, 0.05, 0.05)):
+    """Ratio-based train/val/test split over all sequence frames (the
+    alternative to patient-id splitting). Parity: reference utils.py:64-68.
+    """
+    root = Path(root)
+    files = sorted(root.glob("*/_start*/0*.jpg"))
+    a = int(len(files) * split_ratio[0])
+    b = int(len(files) * (split_ratio[0] + split_ratio[1]))
+    return files[:a], files[a:b], files[b:]
+
+
+def read_visible_image_path_list(data_root) -> List[int]:
+    """All frame indexes appearing in any visible_view_indexes file under
+    the tree. Parity: reference utils.py:147-154."""
+    indexes = []
+    for index_path in Path(data_root).rglob("*visible_view_indexes"):
+        with open(str(index_path)) as fp:
+            indexes += [int(line) for line in fp if line.strip()]
+    return indexes
+
+
+def get_visible_count_per_point(view_indexes_per_point: np.ndarray) -> np.ndarray:
+    """(n_points, 1) appearance counts. Parity: reference utils.py:407-409."""
+    return np.sum(view_indexes_per_point, axis=-1).reshape(-1, 1)
+
+
 def get_parent_folder_names(root, id_range) -> List[Path]:
     """Sequence folders for ids in [id_range[0], id_range[1]).
 

@@ -159,3 +159,64 @@ class MetricWriter:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+def weight_histograms(params, writer, step: int, prefix: str = "Weights") -> None:
+    """Per-parameter histograms to tensorboard (reference utils.py:1042-1044
+    iterates named_parameters; here we walk the Flax param tree)."""
+    if writer._tb is None:
+        return
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        name = "/".join(getattr(p, "key", str(p)) for p in path)
+        writer._tb.add_histogram(f"{prefix}/{name}", np.asarray(leaf).ravel(), step)
+
+
+def flow_color_wheel(size: int = 1001) -> np.ndarray:
+    """The HSV flow-direction legend image (reference utils.py:1900-1918,
+    vectorized). Returns RGB uint8."""
+    center = (size - 1) / 2.0
+    ys, xs = np.meshgrid(np.arange(size, dtype=np.float32),
+                         np.arange(size, dtype=np.float32), indexing="ij")
+    fy = (ys - center) / size
+    fx = (xs - center) / size
+    ang = np.arctan2(fy, fx) + np.pi
+    v = np.sqrt(fx * fx + fy * fy)
+    hsv = np.zeros((size, size, 3), np.uint8)
+    hsv[..., 0] = np.uint8(ang * (180.0 / np.pi / 2.0))
+    hsv[..., 1] = 255
+    hsv[..., 2] = np.uint8(np.minimum(v, 0.5) * 2.0 * 255)
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+
+
+def write_depth_outputs(results_root, colors, scaled_depths, boundaries,
+                        intrinsics, prefix: str = "", is_hsv: bool = False,
+                        point_cloud_downsampling: int = 1) -> None:
+    """Batch export of color jpg / JET depth jpg / colored .ply per sample —
+    the consolidated equivalent of the reference's legacy
+    generate_{training,validation,test}_output dumps (utils.py:1047-1243).
+    NHWC inputs normalized to [-1, 1].
+    """
+    from pathlib import Path
+    from .pointcloud import point_cloud_from_depth, write_point_cloud
+
+    results_root = Path(results_root)
+    results_root.mkdir(parents=True, exist_ok=True)
+    colors = np.asarray(colors)
+    depths = np.asarray(scaled_depths) * np.asarray(boundaries)
+    for j in range(colors.shape[0]):
+        color = np.uint8(np.clip(colors[j] * 0.5 + 0.5, 0, 1) * 255)
+        color = cv2.cvtColor(color, cv2.COLOR_HSV2BGR_FULL if is_hsv
+                             else cv2.COLOR_RGB2BGR)
+        d = depths[j, :, :, 0]
+        span = max(float(d.max()) - float(d.min()), 1e-12)
+        depth_vis = cv2.applyColorMap(
+            np.uint8(np.clip((d - d.min()) / span, 0, 1) * 255), cv2.COLORMAP_JET)
+        cv2.imwrite(str(results_root / f"{prefix}color_{j}.jpg"), color)
+        cv2.imwrite(str(results_root / f"{prefix}depth_{j}.jpg"), depth_vis)
+        cloud = point_cloud_from_depth(d, color, np.asarray(boundaries)[j, :, :, 0],
+                                       np.asarray(intrinsics)[j],
+                                       point_cloud_downsampling)
+        write_point_cloud(str(results_root / f"{prefix}point_cloud_{j}.ply"), cloud)
