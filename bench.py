@@ -27,6 +27,11 @@ WARMUP, ITERS = 5, 30
 
 V100_PEAK_FLOPS = 15.7e12
 V100_UTILIZATION = 0.40
+# XLA cost analysis of the plain fp32 train step (2 stacked forwards +
+# backward + geometry at batch 8, 256x320) — the reference executes the
+# same math, so this is the FLOP basis for the V100 estimate. Pinned so
+# vs_baseline does not drift when our own step gets optimized.
+REFERENCE_STEP_FLOPS = 1.879e12
 
 
 def synthetic_batch(b, h, w):
@@ -62,7 +67,9 @@ def main():
 
     device = jax.devices()[0]
     # bfloat16 compute (fp32 params/stats): the MXU-native dtype; fp32
-    # backward at batch 8 @ 256x320 also exceeds 16G HBM without remat
+    # backward at batch 8 @ 256x320 also exceeds 16G HBM without remat.
+    # packed=False: shifted-weight packing wins on the forward but its
+    # custom-vjp backward gives it back — it is used on inference paths.
     model = FCDenseNet57(n_classes=1, dtype=jnp.bfloat16)
     config = training.TrainConfig(lr_step_size=1000)
     state = training.create_train_state(model, jax.random.PRNGKey(0),
@@ -99,14 +106,8 @@ def main():
 
     samples_per_sec = BATCH * ITERS / dt
 
-    if flops:
-        baseline_sps = (V100_PEAK_FLOPS * V100_UTILIZATION) / (flops / BATCH)
-        vs_baseline = samples_per_sec / baseline_sps
-    else:
-        # fall back to a fixed estimate: ~45 samples/s for the reference
-        # (batch 8 in ~175 ms/step on V100)
-        baseline_sps = 45.0
-        vs_baseline = samples_per_sec / baseline_sps
+    baseline_sps = (V100_PEAK_FLOPS * V100_UTILIZATION) / (REFERENCE_STEP_FLOPS / BATCH)
+    vs_baseline = samples_per_sec / baseline_sps
 
     result = {
         "metric": "train_samples_per_sec_fcdensenet57_256x320_b8",

@@ -64,12 +64,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["bfloat16", "float32"])
     p.add_argument("--rgb_mode", type=str, default="rgb")
+    p.add_argument("--packed_conv", action=argparse.BooleanOptionalAction,
+                   default=True, help="MXU shifted-weight conv packing "
+                   "(exact; forward-only speedup)")
     return p
 
 
 def _make_state(args, height, width):
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
-    model = FCDenseNet57(n_classes=1, dtype=dtype)
+    # packed: evaluation is forward-only, where MXU shifted-weight packing
+    # is a pure win (no strided-conv backward to pay for)
+    model = FCDenseNet57(n_classes=1, dtype=dtype, packed=args.packed_conv)
     config = training.TrainConfig(compute_dtype=dtype)
     state = training.create_train_state(model, jax.random.PRNGKey(10085),
                                         (1, height, width, 3), config)

@@ -127,3 +127,14 @@ def test_kaiming_init_statistics():
     std = float(np.std(np.asarray(k)))
     assert abs(std - np.sqrt(2.0 / fan_in)) < 0.05
     assert np.allclose(variables["params"]["firstconv"]["bias"], 0.0)
+
+
+def test_packed_conv_equals_plain(flax_57):
+    """The MXU shifted-weight packed model must match the plain model
+    bitwise-closely on identical params (same param tree!)."""
+    model, variables = flax_57
+    packed_model = FCDenseNet57(n_classes=1, packed=True)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 64, 64, 3))
+    a = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    b = jax.jit(lambda v, x: packed_model.apply(v, x, train=False))(variables, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
