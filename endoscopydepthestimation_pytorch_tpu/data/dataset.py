@@ -18,6 +18,7 @@ import numpy as np
 
 from . import preprocess
 from .augment import TrainingAugmentation, normalize_color
+from .native import get_rasterizer
 from .rasterizer import rasterize_pair
 
 
@@ -58,7 +59,7 @@ class SfMDataset:
                  inlier_percentage=0.99, visible_interval=30, use_store_data=False,
                  store_data_root=None, phase="train", is_hsv=False,
                  num_pre_workers=8, rgb_mode="rgb", num_iter: Optional[int] = None,
-                 seed: int = 10085):
+                 seed: int = 10085, use_native_rasterizer: bool = True):
         self.image_file_names = [Path(p) for p in image_file_names]
         self.adjacent_range = list(adjacent_range)
         self.transform = transform
@@ -72,6 +73,8 @@ class SfMDataset:
         self.num_iter = num_iter
         self.num_sample = len(self.image_file_names)
         self.rng = random.Random(seed)
+        self._rasterize = (get_rasterizer() if use_native_rasterizer
+                           else rasterize_pair)
 
         self.sequences = preprocess.load_or_run_precompute(
             store_data_root=store_data_root, folder_list=folder_list,
@@ -116,7 +119,7 @@ class SfMDataset:
             pair_extrinsics = [seq.extrinsics[pos], seq.extrinsics[pos + increment]]
             pair_projections = [seq.projections[pos], seq.projections[pos + increment]]
 
-            depth_masks, sparse_depths, flow_masks, flows = rasterize_pair(
+            depth_masks, sparse_depths, flow_masks, flows = self._rasterize(
                 pair_extrinsics=pair_extrinsics, pair_projections=pair_projections,
                 pair_indexes=pair_indexes, point_cloud=seq.point_cloud,
                 mask_boundary=seq.mask_boundary,

@@ -94,3 +94,60 @@ def test_rasterizer_has_labels_and_respects_mask(fixture_sequence_data):
     assert fmask[0, :, :, 0][offmask].sum() == 0
     # flow normalization keeps values small for adjacent frames
     assert np.abs(flow).max() <= 5.0
+
+
+def test_native_rasterizer_matches_numpy(fixture_sequence_data):
+    """The C++ rasterizer must reproduce the numpy implementation exactly
+    (same rounding, scatter order, and f32 arithmetic)."""
+    from endoscopydepthestimation_pytorch_tpu.data import native
+    if not native.native_available():
+        import pytest
+        pytest.skip("no C++ toolchain")
+    seq = fixture_sequence_data
+    for pos, inc in [(10, 8), (0, 10), (20, -7)]:
+        args = dict(pair_extrinsics=[seq.extrinsics[pos], seq.extrinsics[pos + inc]],
+                    pair_projections=[seq.projections[pos], seq.projections[pos + inc]],
+                    pair_indexes=[seq.visible_view_indexes[pos],
+                                  seq.visible_view_indexes[pos + inc]],
+                    point_cloud=seq.point_cloud, mask_boundary=seq.mask_boundary,
+                    view_indexes_per_point=seq.view_indexes_per_point,
+                    clean_point_list=seq.clean_point_list,
+                    visible_view_indexes=seq.visible_view_indexes)
+        ours = native.rasterize_pair_native(**args)
+        golden = rasterize_pair(**args)
+        for a, b in zip(ours, golden):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_native_rasterizer_throughput(fixture_sequence_data):
+    """Sanity perf check: native path at least as fast as numpy on a
+    scaled-up (50k point) cloud."""
+    from endoscopydepthestimation_pytorch_tpu.data import native
+    if not native.native_available():
+        import pytest
+        pytest.skip("no C++ toolchain")
+    import time
+    seq = fixture_sequence_data
+    reps = 88
+    big_points = np.tile(np.asarray(seq.point_cloud), (reps, 1))
+    big_vis = np.tile(seq.view_indexes_per_point, (reps, 1))
+    big_clean = np.tile(seq.clean_point_list, reps)
+    args = dict(pair_extrinsics=[seq.extrinsics[0], seq.extrinsics[10]],
+                pair_projections=[seq.projections[0], seq.projections[10]],
+                pair_indexes=[seq.visible_view_indexes[0], seq.visible_view_indexes[10]],
+                point_cloud=big_points, mask_boundary=seq.mask_boundary,
+                view_indexes_per_point=big_vis, clean_point_list=big_clean,
+                visible_view_indexes=seq.visible_view_indexes)
+
+    def timeit(fn, n=5):
+        fn(**args)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fn(**args)
+        return (time.perf_counter() - t0) / n
+
+    t_native = timeit(native.rasterize_pair_native)
+    t_numpy = timeit(rasterize_pair)
+    print(f"native {t_native*1000:.2f} ms vs numpy {t_numpy*1000:.2f} ms "
+          f"({50160} points)")
+    assert t_native < t_numpy * 1.5  # generous: must not be slower

@@ -35,6 +35,7 @@ from endoscopydepthestimation_pytorch_tpu.parallel import (make_mesh_for_batch,
                                                            replicate_state, shard_batch)
 from endoscopydepthestimation_pytorch_tpu.utils import checkpoint as ckpt
 from endoscopydepthestimation_pytorch_tpu.utils import visualization as viz
+from endoscopydepthestimation_pytorch_tpu.utils.profiling import StepTimer, device_trace
 
 MODELS = {"fcdensenet57": FCDenseNet57, "fcdensenet67": FCDenseNet67,
           "fcdensenet103": FCDenseNet103}
@@ -92,6 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize dense blocks (needed for fp32 batch 8)")
     p.add_argument("--rgb_mode", type=str, default="rgb")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler device trace of epoch 0 here")
     return p
 
 
@@ -173,37 +176,48 @@ def main(argv=None):
     eval_step = make_parallel_eval_step(config, mesh, with_images=True)
 
     mean_sfl = 0.0
+    timer = StepTimer()
     for epoch in range(start_epoch, args.number_epoch + 1):
         train_dataset.seed(10086 + epoch)
         train_loader.set_epoch(epoch)
+        timer.reset_epoch()
         dcl_weight = jnp.asarray(training.dcl_weight_for_epoch(epoch, config),
                                  jnp.float32)
 
         pending = None  # one-step-delayed metric readback
         means = {}
         count = 0
-        for batch_idx, batch in enumerate(train_loader):
-            device_batch = shard_batch(batch, mesh)
-            state, metrics = train_step(state, device_batch, dcl_weight)
-            if pending is not None:
-                vals = {k: float(v) for k, v in pending.items()
-                        if k in ("loss", "sparse_flow_loss", "depth_consistency_loss")}
-                count += 1
-                for k, v in vals.items():
-                    means[k] = means.get(k, 0.0) + (v - means.get(k, 0.0)) / count
-                step_idx = int(state.step)
-                writer.add_scalars("Training", {
-                    "overall": means["loss"],
-                    "depth_consistency": means["depth_consistency_loss"],
-                    "sparse_flow": means["sparse_flow_loss"]}, step_idx)
-                if batch_idx % 50 == 0:
-                    print(f"epoch {epoch} it {batch_idx} "
-                          f"loss {vals['loss']:.5f} (avg {means['loss']:.5f}) "
-                          f"sfl {vals['sparse_flow_loss']:.5f} "
-                          f"dcl {vals['depth_consistency_loss']:.5f}")
-            pending = metrics
+        with device_trace(args.profile_dir,
+                          enabled=(args.profile_dir is not None
+                                   and epoch == start_epoch)):
+            for batch_idx, batch in enumerate(train_loader):
+                device_batch = shard_batch(batch, mesh)
+                state, metrics = train_step(state, device_batch, dcl_weight)
+                if pending is not None:
+                    vals = {k: float(v) for k, v in pending.items()
+                            if k in ("loss", "sparse_flow_loss",
+                                     "depth_consistency_loss")}
+                    timer.tick()
+                    count += 1
+                    for k, v in vals.items():
+                        means[k] = means.get(k, 0.0) + (v - means.get(k, 0.0)) / count
+                    step_idx = int(state.step)
+                    writer.add_scalars("Training", {
+                        "overall": means["loss"],
+                        "depth_consistency": means["depth_consistency_loss"],
+                        "sparse_flow": means["sparse_flow_loss"]}, step_idx)
+                    if batch_idx % 50 == 0:
+                        print(f"epoch {epoch} it {batch_idx} "
+                              f"loss {vals['loss']:.5f} (avg {means['loss']:.5f}) "
+                              f"sfl {vals['sparse_flow_loss']:.5f} "
+                              f"dcl {vals['depth_consistency_loss']:.5f}")
+                pending = metrics
         if pending is not None:
             print(f"epoch {epoch} final loss {float(pending['loss']):.5f}")
+        summary = timer.summary()
+        if summary:
+            print(f"epoch {epoch} step time: mean {summary['mean_ms']:.1f} ms, "
+                  f"p50 {summary['p50_ms']:.1f}, p90 {summary['p90_ms']:.1f}")
 
         if epoch % args.validation_interval != 0:
             continue
