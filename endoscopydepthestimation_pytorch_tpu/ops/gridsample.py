@@ -148,14 +148,44 @@ def grid_sample_nhwc_mxu(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     return out[:, :hq]
 
 
+_BACKEND = "auto"
+_BACKENDS = ("auto", "gather", "mxu", "pallas")
+
+
+def set_backend(name: str) -> None:
+    """Select the bilinear-sampler implementation globally.
+
+    'gather' — 4 explicit gathers (exact; fast on CPU, slow on TPU)
+    'mxu'    — one-hot contractions in XLA (fast on TPU, SPMD-partitionable)
+    'pallas' — the fused Pallas kernel (fastest on TPU; single-chip)
+    'auto'   — gather on CPU; pallas on a single TPU chip; mxu otherwise
+    """
+    global _BACKEND
+    if name not in _BACKENDS:
+        raise ValueError(f"backend must be one of {_BACKENDS}")
+    _BACKEND = name
+
+
 def grid_sample(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                 align_corners: bool = False) -> jnp.ndarray:
-    """Platform-dispatching bilinear sampler: MXU one-hot path on TPU,
-    plain gathers elsewhere."""
-    try:
-        platform = next(iter(image.devices())).platform
-    except Exception:  # tracer inside jit: fall back to the default backend
-        platform = jax.default_backend()
-    if platform == "cpu":
+    """Backend-dispatching bilinear sampler (see set_backend)."""
+    backend = _BACKEND
+    if backend == "auto":
+        try:
+            platform = next(iter(image.devices())).platform
+        except Exception:  # tracer inside jit: use the default backend
+            platform = jax.default_backend()
+        if platform == "cpu":
+            backend = "gather"
+        elif jax.device_count() == 1:
+            # the Pallas call is per-chip; multi-chip meshes keep the
+            # SPMD-partitionable XLA formulation
+            backend = "pallas"
+        else:
+            backend = "mxu"
+    if backend == "gather":
         return grid_sample_nhwc(image, x, y, align_corners=align_corners)
+    if backend == "pallas":
+        from .warp_pallas import grid_sample_pallas
+        return grid_sample_pallas(image, x, y, align_corners=align_corners)
     return grid_sample_nhwc_mxu(image, x, y, align_corners=align_corners)

@@ -1,0 +1,59 @@
+"""Pallas fused bilinear sampler vs the XLA gather path (interpret mode on
+CPU): forward values, all three gradients, zeros padding."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from endoscopydepthestimation_pytorch_tpu.ops import warp_pallas
+from endoscopydepthestimation_pytorch_tpu.ops.gridsample import grid_sample_nhwc
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(warp_pallas, "INTERPRET", True)
+
+
+def _case(seed=0, b=2, h=16, w=24, c=2, hq=13, wq=24):
+    rng = np.random.RandomState(seed)
+    image = rng.randn(b, h, w, c).astype(np.float32)
+    x = rng.uniform(-3, w + 3, (b, hq, wq)).astype(np.float32)
+    y = rng.uniform(-3, h + 3, (b, hq, wq)).astype(np.float32)
+    return jnp.asarray(image), jnp.asarray(x), jnp.asarray(y)
+
+
+def test_pallas_forward_matches_gather():
+    image, x, y = _case()
+    ours = np.asarray(warp_pallas.grid_sample_pallas(image, x, y))
+    golden = np.asarray(grid_sample_nhwc(image, x, y))
+    np.testing.assert_allclose(ours, golden, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_forward_single_channel_and_row_padding():
+    image, x, y = _case(seed=1, c=1, hq=7)  # hq=7 exercises block padding
+    ours = np.asarray(warp_pallas.grid_sample_pallas(image, x, y))
+    golden = np.asarray(grid_sample_nhwc(image, x, y))
+    np.testing.assert_allclose(ours, golden, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_gradients_match_gather():
+    image, x, y = _case(seed=2, b=1, h=12, w=16, hq=12, wq=16)
+
+    def loss_pallas(im, xx, yy):
+        return jnp.sum(jnp.sin(warp_pallas.grid_sample_pallas(im, xx, yy)))
+
+    def loss_gather(im, xx, yy):
+        return jnp.sum(jnp.sin(grid_sample_nhwc(im, xx, yy)))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(image, x, y)
+    gg = jax.grad(loss_gather, argnums=(0, 1, 2))(image, x, y)
+    for a, b in zip(gp, gg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_zeros_padding():
+    image = jnp.ones((1, 8, 8, 1))
+    far = jnp.full((1, 8, 8), 50.0)
+    out = warp_pallas.grid_sample_pallas(image, far, far)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
