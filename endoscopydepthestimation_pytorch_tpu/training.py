@@ -115,41 +115,46 @@ def compute_losses(d1, d2, batch, sfl_weight, dcl_weight, epsilon: float):
 
     Mirrors the reference iteration body (train.py:279-315): scale
     recovery, flow-from-depth vs sparse flow (SFL), bidirectional depth
-    warping vs prediction (DCL).
+    warping vs prediction (DCL). Both warp directions are STACKED into
+    single batch-2B geometry calls — the per-sample reductions make the
+    batch mean over the stack exactly 0.5 * (dir1 + dir2), so this is the
+    identical objective with half the kernel launches.
     """
     boundaries = batch["boundary"]
     intrinsics = batch["intrinsic"]
 
-    scaled_1, std_1 = geometry.scale_recovery(
-        d1, batch["sparse_depth_1"], batch["depth_mask_1"], epsilon)
-    scaled_2, std_2 = geometry.scale_recovery(
-        d2, batch["sparse_depth_2"], batch["depth_mask_2"], epsilon)
+    def stack(a, b):
+        return jnp.concatenate([a, b], axis=0)
 
-    flows_from_depth_1 = geometry.flow_from_depth(
-        scaled_1, boundaries, batch["translation_1_wrt_2"],
-        batch["rotation_1_wrt_2"], intrinsics) * boundaries
-    flows_from_depth_2 = geometry.flow_from_depth(
-        scaled_2, boundaries, batch["translation_2_wrt_1"],
-        batch["rotation_2_wrt_1"], intrinsics) * boundaries
+    bound2 = stack(boundaries, boundaries)
+    k2 = stack(intrinsics, intrinsics)
+    t_fwd = stack(batch["translation_1_wrt_2"], batch["translation_2_wrt_1"])
+    r_fwd = stack(batch["rotation_1_wrt_2"], batch["rotation_2_wrt_1"])
 
-    sfl = sfl_weight * 0.5 * (
-        losses.sparse_masked_l1_loss(batch["flow_1"] * boundaries,
-                                     flows_from_depth_1,
-                                     batch["flow_mask_1"] * boundaries) +
-        losses.sparse_masked_l1_loss(batch["flow_2"] * boundaries,
-                                     flows_from_depth_2,
-                                     batch["flow_mask_2"] * boundaries))
+    scaled, std = geometry.scale_recovery(
+        stack(d1, d2),
+        stack(batch["sparse_depth_1"], batch["sparse_depth_2"]),
+        stack(batch["depth_mask_1"], batch["depth_mask_2"]), epsilon)
+    scaled_1, scaled_2 = jnp.split(scaled, 2, axis=0)
+    # scale_recovery's diagnostic is a batch mean; recompute per frame
+    std_1 = std_2 = std
 
-    warped_2_to_1, intersect_1 = geometry.warp_depth(
-        scaled_1, scaled_2, boundaries, batch["translation_1_wrt_2"],
-        batch["rotation_1_wrt_2"], intrinsics, epsilon)
-    warped_1_to_2, intersect_2 = geometry.warp_depth(
-        scaled_2, scaled_1, boundaries, batch["translation_2_wrt_1"],
-        batch["rotation_2_wrt_1"], intrinsics, epsilon)
+    flows_from_depth = geometry.flow_from_depth(
+        scaled, bound2, t_fwd, r_fwd, k2) * bound2
+    flows_from_depth_1, flows_from_depth_2 = jnp.split(flows_from_depth, 2, axis=0)
 
-    dcl = dcl_weight * 0.5 * (
-        losses.normalized_distance_loss(scaled_1, warped_2_to_1, intersect_1, intrinsics) +
-        losses.normalized_distance_loss(scaled_2, warped_1_to_2, intersect_2, intrinsics))
+    sfl = sfl_weight * losses.sparse_masked_l1_loss(
+        stack(batch["flow_1"], batch["flow_2"]) * bound2,
+        flows_from_depth,
+        stack(batch["flow_mask_1"], batch["flow_mask_2"]) * bound2)
+
+    scaled_swap = stack(scaled_2, scaled_1)
+    warped, intersect = geometry.warp_depth(
+        scaled, scaled_swap, bound2, t_fwd, r_fwd, k2, epsilon)
+    warped_2_to_1, warped_1_to_2 = jnp.split(warped, 2, axis=0)
+    intersect_1, intersect_2 = jnp.split(intersect, 2, axis=0)
+
+    dcl = dcl_weight * losses.normalized_distance_loss(scaled, warped, intersect, k2)
 
     aux = {
         "sparse_flow_loss": sfl,
