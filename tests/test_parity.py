@@ -1,0 +1,111 @@
+"""Cross-framework parity: a reference-format torch checkpoint drives OUR
+inference pipeline on real bag_1 frames, and the depth maps must match the
+torch model's output to well under the 1% abs-rel target (BASELINE.md)."""
+import importlib.util
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def _reference_models():
+    spec = importlib.util.spec_from_file_location("ref_models_p", "/root/reference/models.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_models_p"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def torch_checkpoint(tmp_path_factory):
+    """A reference-format .pt checkpoint (random torch-initialized weights,
+    saved exactly like reference utils.py:674-682 with DataParallel keys)."""
+    ref = _reference_models()
+    torch.manual_seed(42)
+    model = ref.FCDenseNet57(n_classes=1)
+    model.eval()
+    sd = {"module." + k: v for k, v in model.state_dict().items()}
+    path = tmp_path_factory.mktemp("ckpt") / "checkpoint_model_epoch_7_validation_0.1.pt"
+    torch.save({"model": sd, "optimizer": {}, "epoch": 7, "step": 1234,
+                "validation": 0.1}, path)
+    return path, model
+
+
+def test_reference_checkpoint_depth_parity_on_bag1(torch_checkpoint, fixture_seq,
+                                                   fixture_sequence_data):
+    """End-to-end: our data pipeline loads a bag_1 frame, our model runs the
+    imported torch weights, and the depth map matches torch's to <<1%."""
+    path, torch_model = torch_checkpoint
+    from endoscopydepthestimation_pytorch_tpu import training
+    from endoscopydepthestimation_pytorch_tpu.data import preprocess
+    from endoscopydepthestimation_pytorch_tpu.data.augment import normalize_color
+    from endoscopydepthestimation_pytorch_tpu.models import FCDenseNet57
+    from endoscopydepthestimation_pytorch_tpu.utils import checkpoint as ckpt
+
+    seq = fixture_sequence_data
+    sh, eh, sw, ew = seq.crop_positions
+    img = preprocess.load_color_image(fixture_seq / "00004584.jpg", sh, eh, sw, ew,
+                                      4.0, is_hsv=False, rgb_mode="rgb")
+    color = normalize_color(img)                                 # (256, 320, 3)
+    boundary = (seq.mask_boundary.astype(np.float32) / 255.0 > 0.9).astype(np.float32)
+    net_in = color * boundary[:, :, None]
+
+    # ours
+    model = FCDenseNet57(n_classes=1)
+    config = training.TrainConfig()
+    state = training.create_train_state(model, jax.random.PRNGKey(0),
+                                        (1, 256, 320, 3), config)
+    state, epoch, validation = ckpt.load_any_checkpoint(path, state)
+    assert epoch == 7 and int(state.step) == 1234 and validation == pytest.approx(0.1)
+    ours = np.asarray(jax.jit(training.predict_step)(
+        state, jnp.asarray(color)[None], jnp.asarray(boundary)[None, :, :, None]))
+    ours = ours[0, :, :, 0]
+
+    # torch oracle on the identical input
+    with torch.no_grad():
+        t_in = torch.from_numpy(net_in.transpose(2, 0, 1))[None]
+        theirs = torch_model(t_in).numpy()[0, 0]
+
+    inside = boundary > 0.5
+    denom = np.abs(theirs[inside]) + 1e-8
+    abs_rel = float(np.mean(np.abs(ours[inside] - theirs[inside]) / denom))
+    assert abs_rel < 1e-3, f"abs-rel deviation {abs_rel}"  # target is <1e-2
+
+
+def test_packed_inference_parity_on_bag1(torch_checkpoint, fixture_seq,
+                                         fixture_sequence_data):
+    """The packed-conv inference path stays within the parity budget too."""
+    path, torch_model = torch_checkpoint
+    from endoscopydepthestimation_pytorch_tpu import training
+    from endoscopydepthestimation_pytorch_tpu.data import preprocess
+    from endoscopydepthestimation_pytorch_tpu.data.augment import normalize_color
+    from endoscopydepthestimation_pytorch_tpu.models import FCDenseNet57
+    from endoscopydepthestimation_pytorch_tpu.utils import checkpoint as ckpt
+
+    seq = fixture_sequence_data
+    sh, eh, sw, ew = seq.crop_positions
+    img = preprocess.load_color_image(fixture_seq / "00004601.jpg", sh, eh, sw, ew,
+                                      4.0, is_hsv=False, rgb_mode="rgb")
+    color = normalize_color(img)
+    boundary = (seq.mask_boundary.astype(np.float32) / 255.0 > 0.9).astype(np.float32)
+
+    model = FCDenseNet57(n_classes=1, packed=True)
+    config = training.TrainConfig()
+    state = training.create_train_state(model, jax.random.PRNGKey(0),
+                                        (1, 256, 320, 3), config)
+    state, _, _ = ckpt.load_any_checkpoint(path, state)
+    ours = np.asarray(jax.jit(training.predict_step)(
+        state, jnp.asarray(color)[None], jnp.asarray(boundary)[None, :, :, None]))[0, :, :, 0]
+
+    with torch.no_grad():
+        t_in = torch.from_numpy((color * boundary[:, :, None]).transpose(2, 0, 1))[None]
+        theirs = torch_model(t_in).numpy()[0, 0]
+
+    inside = boundary > 0.5
+    abs_rel = float(np.mean(np.abs(ours[inside] - theirs[inside]) /
+                            (np.abs(theirs[inside]) + 1e-8)))
+    assert abs_rel < 1e-3, f"abs-rel deviation {abs_rel}"
