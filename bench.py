@@ -109,6 +109,23 @@ def main():
     baseline_sps = (V100_PEAK_FLOPS * V100_UTILIZATION) / (REFERENCE_STEP_FLOPS / BATCH)
     vs_baseline = samples_per_sec / baseline_sps
 
+    # secondary figure: serving-path inference throughput (packed convs,
+    # forward only — the BASELINE.json 'Depth frames/sec' config)
+    inf_model = FCDenseNet57(n_classes=1, dtype=jnp.bfloat16, packed=True)
+    inf_state = training.create_train_state(inf_model, jax.random.PRNGKey(0),
+                                            (1, H, W, 3), config)
+    predict = jax.jit(training.predict_step)
+    colors = batch["color_1"]
+    boundaries = batch["boundary"]
+    for _ in range(WARMUP):
+        depth = predict(inf_state, colors, boundaries)
+    float(jnp.sum(depth))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        depth = predict(inf_state, colors, boundaries)
+    float(jnp.sum(depth))
+    inference_fps = BATCH * ITERS / (time.perf_counter() - t0)
+
     result = {
         "metric": "train_samples_per_sec_fcdensenet57_256x320_b8",
         "value": round(samples_per_sec, 2),
@@ -118,6 +135,7 @@ def main():
         "loss": round(loss, 5),
         "step_flops": flops,
         "baseline_estimate_samples_per_sec": round(baseline_sps, 2),
+        "inference_fps_b8": round(inference_fps, 2),
         "device": str(device),
     }
     print(json.dumps(result))
