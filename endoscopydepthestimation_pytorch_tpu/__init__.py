@@ -18,3 +18,8 @@ Layering (mirrors SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+from . import losses, schedule  # noqa: E402,F401
+from .training import (TrainConfig, TrainState, create_train_state,  # noqa: E402,F401
+                       dcl_weight_for_epoch, make_jit_eval_step,
+                       make_jit_train_step, predict_step)

@@ -138,3 +138,25 @@ def test_packed_conv_equals_plain(flax_57):
     a = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
     b = jax.jit(lambda v, x: packed_model.apply(v, x, train=False))(variables, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_reinitialize_params_schemes(flax_57):
+    from endoscopydepthestimation_pytorch_tpu.models import reinitialize_params
+    model, variables = flax_57
+    for init_type, dist in [("kaiming", "normal"), ("kaiming", "uniform"),
+                            ("glorot", "normal"), ("glorot", "uniform")]:
+        new = reinitialize_params(variables["params"], jax.random.PRNGKey(7),
+                                  init_type=init_type, distribution=dist)
+        assert (jax.tree_util.tree_structure(new) ==
+                jax.tree_util.tree_structure(variables["params"]))
+        k = np.asarray(new["firstconv"]["kernel"])
+        assert np.std(k) > 0
+        assert np.allclose(np.asarray(new["firstconv"]["bias"]), 0.0)
+        # BatchNorm scales reset to 1
+        bn = new["denseBlocksDown0"]["layers0"]["norm"]
+        assert np.allclose(np.asarray(bn["scale"]), 1.0)
+    # kaiming fan_in std check
+    new = reinitialize_params(variables["params"], jax.random.PRNGKey(8))
+    k = np.asarray(new["denseBlocksDown0"]["layers0"]["conv"]["kernel"])
+    fan_in = k.shape[0] * k.shape[1] * k.shape[2]
+    assert abs(float(np.std(k)) - np.sqrt(2.0 / fan_in)) < 0.02
