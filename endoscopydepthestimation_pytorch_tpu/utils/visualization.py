@@ -83,8 +83,8 @@ def color_panel(colors: np.ndarray, boundaries: Optional[np.ndarray] = None,
 def training_panel(colors, scaled_depths, sparse_flows, dense_flows,
                    is_hsv: bool = False) -> List[np.ndarray]:
     """The reference's 4-panel training row: color | JET depth | sparse
-    flow | dense flow (utils.py:965-994). Flow panels share dense-flow's
-    scale... reference scales dense to sparse's max here."""
+    flow | dense flow (utils.py:965-994); the dense-flow panel is scaled
+    to the sparse-flow panel's max magnitude like the reference."""
     c = color_panel(colors, is_hsv=is_hsv)
     d = colorize_depth(make_grid(_to_numpy(scaled_depths))[:, :, 0])
     sf, max_v = flow_to_hsv(make_grid(_to_numpy(sparse_flows)))
