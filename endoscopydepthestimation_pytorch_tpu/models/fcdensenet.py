@@ -15,7 +15,7 @@ checkpoints map 1:1 (see models/torch_import.py).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Reference *torch* checkpoints are also loadable (weights only) via
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import numpy as np
