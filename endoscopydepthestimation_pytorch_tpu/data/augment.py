@@ -97,8 +97,9 @@ class TrainingAugmentation:
     def reseed(self, seed: int):
         self.rng = np.random.RandomState(seed)
 
-    def __call__(self, image: np.ndarray) -> np.ndarray:
-        rng = self.rng
+    def __call__(self, image: np.ndarray,
+                 rng: np.random.RandomState = None) -> np.ndarray:
+        rng = rng if rng is not None else self.rng
         img = np.ascontiguousarray(image.astype(np.uint8))
         # Block 1: color augmentation
         if rng.uniform() < 0.5:

@@ -101,18 +101,25 @@ class SfMDataset:
         return boundary.reshape(boundary.shape[0], boundary.shape[1], 1)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        return self.get(idx)
+
+    def get(self, idx: int, rng: Optional[random.Random] = None,
+            aug_rng=None) -> Dict[str, np.ndarray]:
+        """Fetch a sample; explicit RNGs make concurrent loading
+        deterministic (each worker derives its own streams)."""
         if self.phase in ("train", "validation"):
-            return self._get_pair(idx)
+            return self._get_pair(idx, rng or self.rng, aug_rng)
         return self._get_test(idx)
 
-    def _get_pair(self, idx: int) -> Dict[str, np.ndarray]:
+    def _get_pair(self, idx: int, rng: random.Random,
+                  aug_rng=None) -> Dict[str, np.ndarray]:
         while True:
             img_file_name = self.image_file_names[idx % self.num_sample]
             folder = str(img_file_name.parent)
             seq = self.sequences[folder]
             start_h, end_h, start_w, end_w = seq.crop_positions
             pos, increment = generating_pos_and_increment(
-                idx, seq.visible_view_indexes, self.adjacent_range, self.rng)
+                idx, seq.visible_view_indexes, self.adjacent_range, rng)
             frame_name = seq.visible_view_indexes[idx % len(seq.visible_view_indexes)]
             pair_indexes = [seq.visible_view_indexes[pos],
                             seq.visible_view_indexes[pos + increment]]
@@ -129,7 +136,7 @@ class SfMDataset:
             if depth_masks[0].sum() != 0 and depth_masks[1].sum() != 0:
                 break
             # degenerate sample: resample (reference dataset.py:372-375)
-            idx = self.rng.randrange(0, len(self.image_file_names))
+            idx = rng.randrange(0, len(self.image_file_names))
 
         imgs = [preprocess.load_color_image(
             Path(folder) / f"{i:08d}.jpg", start_h, end_h, start_w, end_w,
@@ -147,8 +154,8 @@ class SfMDataset:
 
         color_1, color_2 = imgs
         if self.phase == "train" and self.transform is not None:
-            color_1 = self.transform(color_1)
-            color_2 = self.transform(color_2)
+            color_1 = self.transform(color_1, rng=aug_rng)
+            color_2 = self.transform(color_2, rng=aug_rng)
         color_1 = normalize_color(color_1)
         color_2 = normalize_color(color_2)
 
@@ -205,17 +212,21 @@ def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 class BatchLoader:
     """Threaded batch producer with bounded prefetch.
 
-    The per-sample work (jpeg decode + rasterize, ~1 ms) overlaps with
-    device compute via a background producer thread; sample order and RNG
-    use are deterministic given (seed, epoch).
+    The per-sample work (jpeg decode, rasterize, augment — cv2 releases the
+    GIL, and the native rasterizer runs outside it) overlaps with device
+    compute. ``num_workers`` > 1 builds batches concurrently while results
+    are yielded strictly in order; sample RNG is deterministic given
+    (seed, epoch) because pair sampling/augmentation randomness is drawn
+    up-front on the coordinating thread.
     """
 
     def __init__(self, dataset: SfMDataset, batch_size: int, shuffle: bool,
-                 num_workers: int = 0, seed: int = 10085, drop_last: bool = True,
+                 num_workers: int = 4, seed: int = 10085, drop_last: bool = True,
                  prefetch: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
@@ -243,13 +254,43 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        base = (self.seed + self._epoch) * 1000003
+
+        def build(b, idxs):
+            samples = []
+            for k, i in enumerate(idxs):
+                pos = b * self.batch_size + k
+                # per-sample RNG streams: deterministic under any worker
+                # interleaving
+                srng = random.Random(base + pos)
+                arng = np.random.RandomState((base + pos) % (2 ** 31 - 1))
+                samples.append(self.dataset.get(int(i), srng, arng))
+            return collate(samples)
+
         def produce():
             try:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    q.put(collate([self.dataset[int(i)] for i in idxs]))
+                if self.num_workers == 1:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        q.put(build(b, order[b * self.batch_size:(b + 1) * self.batch_size]))
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                        futures = []
+                        for b in range(n_batches):
+                            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                            futures.append(pool.submit(build, b, idxs))
+                            # drain in order as soon as the head is ready
+                            while futures and (futures[0].done() or
+                                               len(futures) >= self.num_workers + 1):
+                                if stop.is_set():
+                                    return
+                                q.put(futures.pop(0).result())
+                        for f in futures:
+                            if stop.is_set():
+                                return
+                            q.put(f.result())
                 q.put(None)
             except BaseException as e:  # surface worker errors to consumer
                 q.put(e)

@@ -127,3 +127,32 @@ def pad_batch_to(batch: Dict[str, np.ndarray], batch_size: int) -> Dict[str, np.
         out[k] = v
     out["_valid"] = valid
     return out
+
+
+def device_prefetch(batches, mesh: Mesh, depth: int = 2):
+    """Shard host batches onto the mesh ``depth`` steps ahead of the
+    consumer, with the host->device copies issued from a background thread
+    so they overlap device compute (the reference blocks on .cuda() copies
+    every iteration, train.py:254-270)."""
+    import queue as _queue
+    import threading as _threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(1, depth))
+
+    def transfer():
+        try:
+            for batch in batches:
+                q.put(shard_batch(batch, mesh))
+            q.put(None)
+        except BaseException as e:
+            q.put(e)
+
+    thread = _threading.Thread(target=transfer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -29,7 +29,8 @@ from endoscopydepthestimation_pytorch_tpu.data.augment import TrainingAugmentati
 from endoscopydepthestimation_pytorch_tpu.data.dataset import BatchLoader, SfMDataset
 from endoscopydepthestimation_pytorch_tpu.models import (FCDenseNet57, FCDenseNet67,
                                                          FCDenseNet103)
-from endoscopydepthestimation_pytorch_tpu.parallel import (make_mesh_for_batch,
+from endoscopydepthestimation_pytorch_tpu.parallel import (device_prefetch,
+                                                           make_mesh_for_batch,
                                                            make_parallel_eval_step,
                                                            make_parallel_train_step,
                                                            replicate_state, shard_batch)
@@ -95,6 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rgb_mode", type=str, default="rgb")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler device trace of epoch 0 here")
+    p.add_argument("--log_interval", type=int, default=10,
+                   help="steps between metric readbacks (each costs a "
+                        "device->host round trip)")
     return p
 
 
@@ -190,10 +194,10 @@ def main(argv=None):
         with device_trace(args.profile_dir,
                           enabled=(args.profile_dir is not None
                                    and epoch == start_epoch)):
-            for batch_idx, batch in enumerate(train_loader):
-                device_batch = shard_batch(batch, mesh)
+            for batch_idx, device_batch in enumerate(
+                    device_prefetch(train_loader, mesh)):
                 state, metrics = train_step(state, device_batch, dcl_weight)
-                if pending is not None:
+                if pending is not None and batch_idx % args.log_interval == 0:
                     vals = {k: float(v) for k, v in pending.items()
                             if k in ("loss", "sparse_flow_loss",
                                      "depth_consistency_loss")}
@@ -216,8 +220,11 @@ def main(argv=None):
             print(f"epoch {epoch} final loss {float(pending['loss']):.5f}")
         summary = timer.summary()
         if summary:
-            print(f"epoch {epoch} step time: mean {summary['mean_ms']:.1f} ms, "
-                  f"p50 {summary['p50_ms']:.1f}, p90 {summary['p90_ms']:.1f}")
+            # ticks happen once per log_interval steps
+            scale = max(1, args.log_interval)
+            print(f"epoch {epoch} step time: mean {summary['mean_ms']/scale:.1f} ms, "
+                  f"p50 {summary['p50_ms']/scale:.1f}, "
+                  f"p90 {summary['p90_ms']/scale:.1f}")
 
         if epoch % args.validation_interval != 0:
             continue
