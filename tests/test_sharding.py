@@ -75,3 +75,36 @@ def test_sharded_eval_and_predict(mesh, setup):
     depth = predict_fn(pstate, sharded["color_1"], sharded["boundary"])
     assert depth.shape == (8, 32, 32, 1)
     assert len(depth.sharding.device_set) == 8  # output stays sharded
+
+
+def test_make_mesh_for_batch_divisibility():
+    from endoscopydepthestimation_pytorch_tpu.parallel import make_mesh_for_batch
+    assert len(make_mesh_for_batch(8).devices.ravel()) == 8
+    assert len(make_mesh_for_batch(2).devices.ravel()) == 2
+    assert len(make_mesh_for_batch(3).devices.ravel()) == 3
+    assert len(make_mesh_for_batch(1).devices.ravel()) == 1
+    assert len(make_mesh_for_batch(12).devices.ravel()) == 6
+
+
+def test_pad_batch_to():
+    from endoscopydepthestimation_pytorch_tpu.parallel import pad_batch_to
+    batch = {"color_1": np.zeros((3, 4, 4, 3)), "names": ["a", "b", "c"]}
+    out = pad_batch_to(batch, 8)
+    assert out["color_1"].shape[0] == 8
+    assert out["_valid"] == 3
+    assert out["names"] == ["a", "b", "c"]
+
+
+def test_device_prefetch_order_and_errors(mesh):
+    from endoscopydepthestimation_pytorch_tpu.parallel import device_prefetch
+    batches = [{"x": np.full((8, 2), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(batches), mesh))
+    assert [int(np.asarray(b["x"])[0, 0]) for b in out] == [0, 1, 2, 3, 4]
+
+    def bad():
+        yield {"x": np.zeros((8, 2), np.float32)}
+        raise RuntimeError("loader died")
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="loader died"):
+        list(device_prefetch(bad(), mesh))
