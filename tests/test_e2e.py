@@ -41,6 +41,7 @@ def trained_run(data_root, result_root):
         "--training_data_root", str(data_root),
         "--num_pre_workers", "1",
         "--compute_dtype", "float32",
+        "--log_interval", "1",
         "--architecture_summary",
     ])
     runs = list(result_root.glob("depth_estimation_train_run_*"))
