@@ -100,3 +100,13 @@ def test_ply_roundtrip(tmp_path):
     v = plyio.read_ply_vertices(tmp_path / "out.ply")
     np.testing.assert_allclose(v["x"], pc[:, 0].astype(np.float32), rtol=1e-6)
     np.testing.assert_array_equal(v["red"], pc[:, 3].astype(np.uint8))
+
+
+def test_quaternion_doctests():
+    """The reference keeps doctests on quaternion_matrix (utils.py:1361-1369)
+    but never runs them; we do."""
+    import doctest
+    from endoscopydepthestimation_pytorch_tpu.data import readers as mod
+    results = doctest.testmod(mod, verbose=False)
+    assert results.attempted >= 2
+    assert results.failed == 0
