@@ -93,13 +93,15 @@ def make_parallel_train_step(config: training.TrainConfig, mesh: Mesh):
 
 
 def make_parallel_eval_step(config: training.TrainConfig, mesh: Mesh,
-                            with_images: bool = False):
+                            with_images: bool = False,
+                            use_batch_stats: bool = False):
     rep = replicated(mesh)
     shard = batch_sharding(mesh)
     # out_shardings left to the compiler: scalar metrics come back
     # replicated, image outputs stay batch-sharded
     return jax.jit(
-        partial(training.eval_step, config=config, with_images=with_images),
+        partial(training.eval_step, config=config, with_images=with_images,
+                use_batch_stats=use_batch_stats),
         in_shardings=(rep, shard, rep))
 
 

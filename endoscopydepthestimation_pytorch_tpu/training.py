@@ -215,11 +215,22 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
 
 def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
               dcl_weight: jnp.ndarray, config: TrainConfig,
-              with_images: bool = False) -> Dict[str, jnp.ndarray]:
-    """Validation step: same objective, no gradient, running BN stats
-    (reference train.py:378-445)."""
-    d1, d2, _ = _forward_pair(state.apply_fn, state.params, state.batch_stats,
-                              batch, train=False)
+              with_images: bool = False,
+              use_batch_stats: bool = False) -> Dict[str, jnp.ndarray]:
+    """Validation step: same objective, no gradient.
+
+    ``use_batch_stats=True`` reproduces the reference *training-loop*
+    validation, which never flips the model out of train mode so BN uses
+    batch statistics (train.py:234, 380 there); the default (running
+    averages) matches its standalone evaluate.py, which does call .eval()
+    (evaluate.py:164). Stats are never written back either way.
+    """
+    if use_batch_stats:
+        d1, d2, _ = _forward_pair(state.apply_fn, state.params,
+                                  state.batch_stats, batch, train=True)
+    else:
+        d1, d2, _ = _forward_pair(state.apply_fn, state.params,
+                                  state.batch_stats, batch, train=False)
     loss, aux = compute_losses(d1, d2, batch, config.sfl_weight, dcl_weight,
                                config.zero_division_epsilon)
     metrics = {
@@ -248,8 +259,10 @@ def make_jit_train_step(config: TrainConfig):
     return jax.jit(partial(train_step, config=config), donate_argnums=0)
 
 
-def make_jit_eval_step(config: TrainConfig, with_images: bool = False):
-    return jax.jit(partial(eval_step, config=config, with_images=with_images))
+def make_jit_eval_step(config: TrainConfig, with_images: bool = False,
+                       use_batch_stats: bool = False):
+    return jax.jit(partial(eval_step, config=config, with_images=with_images,
+                           use_batch_stats=use_batch_stats))
 
 
 def dcl_weight_for_epoch(epoch: int, config: TrainConfig) -> float:

@@ -127,3 +127,22 @@ def test_dcl_warmup_schedule():
     assert training.dcl_weight_for_epoch(0, config) == 0.1
     assert training.dcl_weight_for_epoch(20, config) == 0.1
     assert training.dcl_weight_for_epoch(21, config) == 5.0
+
+
+def test_eval_step_batch_stats_mode(setup):
+    """use_batch_stats=True (the reference's training-loop validation runs
+    BN in train mode, its train.py:234,380) differs from running-average
+    mode once the stats have diverged from init."""
+    config, model, fresh = setup
+    state = fresh()
+    # push batch stats away from the (0, 1) init with a couple of steps
+    step_fn = training.make_jit_train_step(config)
+    batch = jax.tree.map(jnp.asarray, _synthetic_batch())
+    for _ in range(2):
+        state, _ = step_fn(state, batch, jnp.asarray(0.1))
+    ev_run = training.make_jit_eval_step(config)
+    ev_bat = training.make_jit_eval_step(config, use_batch_stats=True)
+    a = float(ev_run(state, batch, jnp.asarray(5.0))["loss"])
+    b = float(ev_bat(state, batch, jnp.asarray(5.0))["loss"])
+    assert np.isfinite(a) and np.isfinite(b)
+    assert a != b

@@ -177,7 +177,10 @@ def main(argv=None):
     print(f"Data-parallel mesh over {len(mesh.devices.ravel())} device(s)")
     state = replicate_state(state, mesh)
     train_step = make_parallel_train_step(config, mesh)
-    eval_step = make_parallel_eval_step(config, mesh, with_images=True)
+    # use_batch_stats: the reference never flips its model to eval mode in
+    # the training-loop validation (its train.py:234, 380)
+    eval_step = make_parallel_eval_step(config, mesh, with_images=True,
+                                        use_batch_stats=True)
 
     mean_sfl = 0.0
     timer = StepTimer()
