@@ -114,10 +114,13 @@ class Conv3x3(nn.Module):
         return y + bias.astype(y.dtype)
 
 
-def _bn(train: bool, dtype: Dtype, name: str) -> nn.BatchNorm:
-    # torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (flax momentum=0.9)
+def _bn(train: bool, dtype: Dtype, name: str, axis_name=None) -> nn.BatchNorm:
+    # torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (flax momentum=0.9).
+    # axis_name: set to the mesh data axis inside shard_map so batch
+    # statistics are psum'd across shards — preserving the global-BN
+    # semantics the jit+shardings path gets from XLA automatically.
     return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                        dtype=dtype, name=name)
+                        dtype=dtype, name=name, axis_name=axis_name)
 
 
 class DenseLayer(nn.Module):
@@ -125,10 +128,11 @@ class DenseLayer(nn.Module):
     growth_rate: int
     dtype: Dtype = jnp.float32
     packed: bool = False
+    axis_name: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        y = _bn(train, self.dtype, "norm")(x)
+        y = _bn(train, self.dtype, "norm", self.axis_name)(x)
         y = nn.relu(y)
         return Conv3x3(self.growth_rate, packed=self.packed, dtype=self.dtype,
                        name="conv")(y)
@@ -142,13 +146,15 @@ class DenseBlock(nn.Module):
     upsample: bool = False
     dtype: Dtype = jnp.float32
     packed: bool = False
+    axis_name: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         new_features = []
         for j in range(self.n_layers):
             out = DenseLayer(self.growth_rate, dtype=self.dtype,
-                             packed=self.packed, name=f"layers{j}")(x, train)
+                             packed=self.packed, axis_name=self.axis_name,
+                             name=f"layers{j}")(x, train)
             x = jnp.concatenate([x, out], axis=-1)
             new_features.append(out)
         if self.upsample:
@@ -160,10 +166,11 @@ class TransitionDown(nn.Module):
     """BN -> ReLU -> 1x1 conv (same channels) -> 2x2 maxpool.
     Reference models.py:56-67."""
     dtype: Dtype = jnp.float32
+    axis_name: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        y = _bn(train, self.dtype, "norm")(x)
+        y = _bn(train, self.dtype, "norm", self.axis_name)(x)
         y = nn.relu(y)
         y = nn.Conv(x.shape[-1], (1, 1), use_bias=True, kernel_init=kaiming_normal,
                     dtype=self.dtype, name="conv")(y)
@@ -217,6 +224,7 @@ class FCDenseNet(nn.Module):
     # standard memory fix for DenseNet's O(L^2) concat activations; trades
     # ~30% extra forward FLOPs for fitting batch 8 @ 256x320 in 16G HBM)
     packed: bool = False  # MXU shifted-weight packing for the 3x3 convs
+    axis_name: Any = None  # mesh axis for cross-shard BN under shard_map
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -230,14 +238,15 @@ class FCDenseNet(nn.Module):
         skips = []
         for i, n in enumerate(self.down_blocks):
             out = block_cls(self.growth_rate, n, dtype=self.dtype,
-                            packed=self.packed,
+                            packed=self.packed, axis_name=self.axis_name,
                             name=f"denseBlocksDown{i}")(out, train)
             skips.append(out)
-            out = TransitionDown(dtype=self.dtype, name=f"transDownBlocks{i}")(out, train)
+            out = TransitionDown(dtype=self.dtype, axis_name=self.axis_name,
+                                 name=f"transDownBlocks{i}")(out, train)
 
         out = block_cls(self.growth_rate, self.bottleneck_layers, upsample=True,
                         dtype=self.dtype, packed=self.packed,
-                        name="bottleneck")(out, train)
+                        axis_name=self.axis_name, name="bottleneck")(out, train)
 
         for i, n in enumerate(self.up_blocks):
             skip = skips.pop()
@@ -246,6 +255,7 @@ class FCDenseNet(nn.Module):
             out = block_cls(self.growth_rate, n,
                             upsample=(i < len(self.up_blocks) - 1),
                             dtype=self.dtype, packed=self.packed,
+                            axis_name=self.axis_name,
                             name=f"denseBlocksUp{i}")(out, train)
 
         out = nn.Conv(self.n_classes, (1, 1), use_bias=True,

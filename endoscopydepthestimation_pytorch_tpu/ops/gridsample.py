@@ -166,6 +166,26 @@ def set_backend(name: str) -> None:
     _BACKEND = name
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def backend_scope(name: str):
+    """Temporarily select a sampler backend. Dispatch happens at TRACE
+    time, so wrapping the body of a traced function (e.g. the per-shard
+    function under shard_map, where each shard is effectively single-chip
+    and the Pallas kernel applies) in this scope is sufficient."""
+    global _BACKEND
+    if name not in _BACKENDS:
+        raise ValueError(f"backend must be one of {_BACKENDS}")
+    old = _BACKEND
+    _BACKEND = name
+    try:
+        yield
+    finally:
+        _BACKEND = old
+
+
 def grid_sample(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                 align_corners: bool = False) -> jnp.ndarray:
     """Backend-dispatching bilinear sampler (see set_backend)."""

@@ -76,20 +76,86 @@ def replicate_state(state: training.TrainState, mesh: Mesh) -> training.TrainSta
     return jax.tree.map(lambda x: jax.device_put(x, rep), state)
 
 
-def make_parallel_train_step(config: training.TrainConfig, mesh: Mesh):
+def make_parallel_train_step(config: training.TrainConfig, mesh: Mesh,
+                             with_images: bool = False):
     """The jitted train step with explicit shardings: state replicated,
     batch split on the data axis. XLA turns the loss/grad reductions into
     ICI all-reduces; BatchNorm's batch-mean becomes a cross-replica mean
     (a strict improvement over DataParallel's per-replica BN stats —
-    documented deviation)."""
+    documented deviation). ``with_images`` adds the training-board image
+    outputs (separate compiled program used only on display steps)."""
     rep = replicated(mesh)
     shard = batch_sharding(mesh)
-    # shardings by pytree prefix: whole state replicated, whole batch sharded
+    # shardings by pytree prefix: whole state replicated, whole batch
+    # sharded; image outputs (if any) come back batch-sharded per compiler
     return jax.jit(
-        partial(training.train_step, config=config),
+        partial(training.train_step, config=config, with_images=with_images),
         in_shardings=(rep, shard, rep),
-        out_shardings=(rep, rep),
         donate_argnums=0)
+
+
+def make_shardmap_train_step(config: training.TrainConfig, mesh: Mesh, model):
+    """The train step as an explicit per-shard program under shard_map.
+
+    Why this exists next to ``make_parallel_train_step``: the Pallas warp
+    kernel (ops/warp_pallas.py) is a per-chip program — under plain
+    jit+shardings the sampler must fall back to the SPMD-partitionable XLA
+    one-hot formulation on multi-chip meshes (~30% slower per chip).
+    shard_map makes every chip run the single-chip program, so the Pallas
+    kernel applies per shard; gradients/metrics are pmean'd explicitly, and
+    BatchNorm batch statistics are psum'd across shards inside the model
+    (flax ``axis_name``) to preserve the jit path's global-BN semantics.
+
+    Numerics: identical math to ``make_parallel_train_step`` — only
+    reduction ORDER differs (per-shard mean then cross-shard mean of equal
+    shards), so results agree to float rounding, not bit-exactly.
+    """
+    axis = mesh.axis_names[0]
+    apply_fn = model.clone(axis_name=axis).apply
+    eps = config.zero_division_epsilon
+    scalar_keys = ("sparse_flow_loss", "depth_consistency_loss",
+                   "scale_std_1", "scale_std_2")
+
+    def per_shard(params, batch_stats, batch, dclw):
+        # Each shard is effectively single-chip: use the Pallas sampler on
+        # TPU (dispatch happens at trace time — backend_scope is active
+        # while this body is traced).
+        from ..ops import gridsample
+        backend = "pallas" if jax.default_backend() == "tpu" else "auto"
+
+        def loss_fn(p):
+            d1, d2, new_stats = training._forward_pair(
+                apply_fn, p, batch_stats, batch, train=True)
+            loss, aux = training.compute_losses(
+                d1, d2, batch, config.sfl_weight, dclw, eps)
+            return loss, (new_stats, aux)
+
+        with gridsample.backend_scope(backend):
+            (loss, (new_stats, aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        scalars = {k: jax.lax.pmean(aux[k], axis) for k in scalar_keys}
+        # new_stats is already cross-shard identical (BN axis_name pmean);
+        # the pmean below just certifies replication for out_specs=P()
+        new_stats = jax.lax.pmean(new_stats, axis)
+        return loss, grads, new_stats, scalars
+
+    shard_fn = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P(), P()))
+
+    def step(state, batch, dcl_weight):
+        loss, grads, new_stats, scalars = shard_fn(
+            state.params, state.batch_stats, batch, dcl_weight)
+        return training.apply_gradients(state, loss, grads, new_stats, scalars)
+
+    rep = replicated(mesh)
+    shard = batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(rep, shard, rep),
+                   out_shardings=(rep, rep), donate_argnums=0)
 
 
 def make_parallel_eval_step(config: training.TrainConfig, mesh: Mesh,

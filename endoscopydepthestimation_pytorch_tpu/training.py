@@ -171,25 +171,15 @@ def compute_losses(d1, d2, batch, sfl_weight, dcl_weight, epsilon: float):
     return sfl + dcl, aux
 
 
-def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-               dcl_weight: jnp.ndarray, config: TrainConfig
-               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    """One fully-fused optimization step. ``dcl_weight`` is a traced scalar
-    so the warmup switch (train.py:239-242) never recompiles."""
-    eps = config.zero_division_epsilon
+def apply_gradients(state: TrainState, loss, grads, new_stats, scalars
+                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """Shared post-gradient logic of the jit and shard_map train steps.
 
-    def loss_fn(params):
-        d1, d2, new_stats = _forward_pair(state.apply_fn, params,
-                                          state.batch_stats, batch, train=True)
-        loss, aux = compute_losses(d1, d2, batch, config.sfl_weight, dcl_weight, eps)
-        return loss, (new_stats, aux)
-
-    (loss, (new_stats, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-
-    # Loss-finiteness gate on top of optax's gradient gate: zero the grads
-    # when the loss is non-finite so apply_if_finite's inner state (momentum,
-    # schedule count) is untouched — the reference neither updates params
-    # nor advances the step counter in that case (train.py:317-322, 339).
+    Loss-finiteness gate on top of optax's gradient gate: poison the grads
+    when the loss is non-finite so apply_if_finite's inner state (momentum,
+    schedule count) is untouched — the reference neither updates params
+    nor advances the step counter in that case (train.py:317-322, 339).
+    """
     finite = jnp.isfinite(loss)
     grads = jax.tree.map(
         lambda g: jnp.where(finite, g, jnp.full_like(g, jnp.nan)), grads)
@@ -204,12 +194,41 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
 
     metrics = {
         "loss": loss,
-        "sparse_flow_loss": aux["sparse_flow_loss"],
-        "depth_consistency_loss": aux["depth_consistency_loss"],
-        "scale_std": 0.5 * (aux["scale_std_1"] + aux["scale_std_2"]),
+        "sparse_flow_loss": scalars["sparse_flow_loss"],
+        "depth_consistency_loss": scalars["depth_consistency_loss"],
+        "scale_std": 0.5 * (scalars["scale_std_1"] + scalars["scale_std_2"]),
         "finite": finite.astype(jnp.float32),
         "grad_norm": optax.global_norm(grads),
     }
+    return new_state, metrics
+
+
+def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+               dcl_weight: jnp.ndarray, config: TrainConfig,
+               with_images: bool = False
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One fully-fused optimization step. ``dcl_weight`` is a traced scalar
+    so the warmup switch (train.py:239-242) never recompiles.
+
+    ``with_images=True`` additionally returns the scaled depth and dense
+    flow of frame 1 for the reference's per-``display_interval`` training
+    image board (train.py:353-371 there). It is a separate compiled
+    program — non-display steps pay nothing for it.
+    """
+    eps = config.zero_division_epsilon
+
+    def loss_fn(params):
+        d1, d2, new_stats = _forward_pair(state.apply_fn, params,
+                                          state.batch_stats, batch, train=True)
+        loss, aux = compute_losses(d1, d2, batch, config.sfl_weight, dcl_weight, eps)
+        return loss, (new_stats, aux)
+
+    (loss, (new_stats, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    new_state, metrics = apply_gradients(state, loss, grads, new_stats, aux)
+    if with_images:
+        metrics = dict(metrics,
+                       scaled_depth_1=aux["scaled_depth_1"],
+                       flows_from_depth_1=aux["flows_from_depth_1"])
     return new_state, metrics
 
 
@@ -254,9 +273,10 @@ def predict_step(state: TrainState, colors: jnp.ndarray,
     return state.apply_fn(variables, colors * boundaries, train=False)
 
 
-def make_jit_train_step(config: TrainConfig):
+def make_jit_train_step(config: TrainConfig, with_images: bool = False):
     """jit with donated state so XLA reuses parameter/optimizer buffers."""
-    return jax.jit(partial(train_step, config=config), donate_argnums=0)
+    return jax.jit(partial(train_step, config=config, with_images=with_images),
+                   donate_argnums=0)
 
 
 def make_jit_eval_step(config: TrainConfig, with_images: bool = False,

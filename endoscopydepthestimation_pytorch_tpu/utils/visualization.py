@@ -144,12 +144,12 @@ class MetricWriter:
             self._tb.add_scalars(tag, {k: float(v) for k, v in values.items()}, step)
 
     def add_image(self, tag: str, image_hwc: np.ndarray, step: int):
+        # png always (direct artifact, testable); tensorboard when available
+        path = self.log_dir / f"{tag.replace('/', '_')}_{step}.png"
+        cv2.imwrite(str(path), cv2.cvtColor(
+            np.uint8(np.clip(image_hwc, 0, 1) * 255), cv2.COLOR_RGB2BGR))
         if self._tb is not None:
             self._tb.add_image(tag, np.moveaxis(image_hwc, 2, 0), step)
-        else:
-            path = self.log_dir / f"{tag.replace('/', '_')}_{step}.png"
-            cv2.imwrite(str(path), cv2.cvtColor(
-                np.uint8(np.clip(image_hwc, 0, 1) * 255), cv2.COLOR_RGB2BGR))
 
     def export_scalars_to_json(self, path):
         with open(path, "w") as f:

@@ -56,6 +56,11 @@ def test_train_writes_checkpoint_and_scalars(trained_run):
     scalars = (trained_run / "scalars.jsonl").read_text().strip().splitlines()
     assert len(scalars) >= 2
     assert list(trained_run.glob("all_scalars_*.json"))
+    # the reference writes a training image board every display_interval
+    # iterations (train.py:353-371 there) and one per validation display
+    assert list(trained_run.glob("Training_Images_Results_*.png")), \
+        "no in-training image panel written"
+    assert list(trained_run.glob("Validation_Images_Results_*.png"))
 
 
 def test_evaluate_test_phase(trained_run, data_root, result_root, fixture_seq):

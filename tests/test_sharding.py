@@ -61,6 +61,36 @@ def test_sharded_matches_single_device(mesh, setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-6)
 
 
+def test_shardmap_matches_jit_path(mesh, setup):
+    """The shard_map train step (per-shard Pallas-capable program, explicit
+    pmean of grads + BN batch stats) reproduces the jit+shardings step to
+    float rounding — same math, shard-then-mean reduction order."""
+    from endoscopydepthestimation_pytorch_tpu.parallel import (
+        make_shardmap_train_step)
+    config, model, state = setup
+    batch = _synthetic_batch(batch=8, h=32, w=32)
+
+    jit_fn = make_parallel_train_step(config, mesh)
+    s_jit, m_jit = jit_fn(replicate_state(jax.tree.map(jnp.array, state), mesh),
+                          shard_batch(batch, mesh), jnp.asarray(0.1))
+
+    sm_fn = make_shardmap_train_step(config, mesh, model)
+    s_sm, m_sm = sm_fn(replicate_state(jax.tree.map(jnp.array, state), mesh),
+                       shard_batch(batch, mesh), jnp.asarray(0.1))
+
+    assert float(m_jit["loss"]) == pytest.approx(float(m_sm["loss"]), rel=1e-5)
+    assert int(s_sm.step) == 1
+    # same tolerance as test_sharded_matches_single_device: reduction order
+    # differs (per-shard then cross-shard), gradients amplify the rounding
+    for a, b in zip(jax.tree.leaves(s_jit.params), jax.tree.leaves(s_sm.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_jit.batch_stats),
+                    jax.tree.leaves(s_sm.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
+
+
 def test_sharded_eval_and_predict(mesh, setup):
     config, model, state = setup
     batch = _synthetic_batch(batch=8, h=32, w=32)

@@ -177,6 +177,10 @@ def main(argv=None):
     print(f"Data-parallel mesh over {len(mesh.devices.ravel())} device(s)")
     state = replicate_state(state, mesh)
     train_step = make_parallel_train_step(config, mesh)
+    # display-step variant additionally returns the board images
+    # (reference emits a 4-panel training board every display_interval
+    # iterations, train.py:353-371 there)
+    train_step_display = make_parallel_train_step(config, mesh, with_images=True)
     # use_batch_stats: the reference never flips its model to eval mode in
     # the training-loop validation (its train.py:234, 380)
     eval_step = make_parallel_eval_step(config, mesh, with_images=True,
@@ -199,7 +203,26 @@ def main(argv=None):
                                    and epoch == start_epoch)):
             for batch_idx, device_batch in enumerate(
                     device_prefetch(train_loader, mesh)):
-                state, metrics = train_step(state, device_batch, dcl_weight)
+                display = (args.display_interval > 0
+                           and batch_idx % args.display_interval == 0)
+                if display:
+                    state, metrics = train_step_display(state, device_batch,
+                                                        dcl_weight)
+                    panels = viz.training_panel(
+                        np.asarray(device_batch["color_1"]),
+                        np.asarray(metrics["scaled_depth_1"])
+                        * np.asarray(device_batch["boundary"]),
+                        np.asarray(device_batch["flow_1"])
+                        * np.asarray(device_batch["boundary"]),
+                        np.asarray(metrics["flows_from_depth_1"]),
+                        is_hsv=args.use_hsv_colorspace)
+                    writer.add_image("Training/Images/Results",
+                                     viz.stack_panels(panels), int(state.step))
+                    metrics = {k: v for k, v in metrics.items()
+                               if k not in ("scaled_depth_1",
+                                            "flows_from_depth_1")}
+                else:
+                    state, metrics = train_step(state, device_batch, dcl_weight)
                 if pending is not None and batch_idx % args.log_interval == 0:
                     vals = {k: float(v) for k, v in pending.items()
                             if k in ("loss", "sparse_flow_loss",
