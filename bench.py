@@ -68,8 +68,9 @@ def main():
     device = jax.devices()[0]
     # bfloat16 compute (fp32 params/stats): the MXU-native dtype; fp32
     # backward at batch 8 @ 256x320 also exceeds 16G HBM without remat.
-    # packed=False: shifted-weight packing wins on the forward but its
-    # custom-vjp backward gives it back — it is used on inference paths.
+    # fused=False: the Pallas dense-conv engine beats ISOLATED
+    # BN+ReLU+conv by 1.3-2.2x but loses to XLA's cross-op fusion inside
+    # the full model (232 vs 198 ms steps measured) — see PERF.md.
     model = FCDenseNet57(n_classes=1, dtype=jnp.bfloat16)
     config = training.TrainConfig(lr_step_size=1000)
     state = training.create_train_state(model, jax.random.PRNGKey(0),

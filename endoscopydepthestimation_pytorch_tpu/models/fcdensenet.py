@@ -96,22 +96,70 @@ packed_conv3x3.defvjp(_packed_conv3x3_fwd, _packed_conv3x3_bwd)
 class Conv3x3(nn.Module):
     """3x3 SAME conv with the same parameter tree as nn.Conv ('kernel',
     'bias'), dispatching to the packed evaluation when enabled and the
-    spatial dims divide the packing tile."""
+    spatial dims divide the packing tile. With ``fold=(scale, shift)`` the
+    Pallas engine computes conv(relu(x*scale + shift)) in one fused pass
+    (ops/dense_conv.py)."""
     features: int
     packed: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold=None):
         kernel = self.param("kernel", kaiming_normal,
                             (3, 3, x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         x = x.astype(self.dtype)
-        if self.packed and x.shape[1] % 2 == 0 and x.shape[2] % 4 == 0:
+        if fold is not None:
+            from ..ops.dense_conv import fused_dense_conv
+            y = fused_dense_conv(x, fold[0], fold[1], kernel)
+        elif self.packed and x.shape[1] % 2 == 0 and x.shape[2] % 4 == 0:
             y = packed_conv3x3(x, kernel, 2, 4)
         else:
             y = _plain_conv3x3(x, kernel)
         return y + bias.astype(y.dtype)
+
+
+class BNFold(nn.Module):
+    """BatchNorm that RETURNS the folded per-channel (scale, shift) instead
+    of a normalized tensor, for fusion into the Pallas dense-conv kernel
+    (relu(x*scale + shift) == relu(batchnorm(x))).
+
+    Declares the exact variable set of ``nn.BatchNorm`` — params
+    {scale, bias}, batch_stats {mean, var} — so the parameter tree, torch
+    checkpoint import, and orbax checkpoints are identical whether or not
+    the fused path is active. Statistics math mirrors flax: batch mean /
+    mean-of-squares in f32, optional cross-shard pmean via ``axis_name``,
+    running stats updated with momentum 0.9 (torch 0.1).
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if train and not self.is_initializing():
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=(0, 1, 2))
+            mean2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            if self.axis_name is not None:
+                mu = jax.lax.pmean(mu, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = mean2 - jnp.square(mu)
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum) * mu)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum) * var)
+        else:
+            mu, var = ra_mean.value, ra_var.value
+        mul = scale * jax.lax.rsqrt(var + self.epsilon)
+        return mul, bias - mu * mul
 
 
 def _bn(train: bool, dtype: Dtype, name: str, axis_name=None) -> nn.BatchNorm:
@@ -123,15 +171,32 @@ def _bn(train: bool, dtype: Dtype, name: str, axis_name=None) -> nn.BatchNorm:
                         dtype=dtype, name=name, axis_name=axis_name)
 
 
+def _fusable(x) -> bool:
+    """The Pallas dense-conv engine applies when the batch is a multiple
+    of 8 (octet sublanes) and the width splits into >= 2 position groups
+    wide enough to matter (>= 80 px; smaller maps are sub-ms in XLA)."""
+    return x.shape[0] % 8 == 0 and x.shape[2] % 8 == 0 and x.shape[2] >= 80
+
+
 class DenseLayer(nn.Module):
-    """BN -> ReLU -> 3x3 conv(growth_rate). Reference models.py:19-28."""
+    """BN -> ReLU -> 3x3 conv(growth_rate). Reference models.py:19-28.
+
+    ``fused=True`` routes BN+ReLU+conv through the position-packed Pallas
+    engine (ops/dense_conv.py) when the shape qualifies; the parameter
+    tree is identical either way (BNFold declares nn.BatchNorm's exact
+    variables)."""
     growth_rate: int
     dtype: Dtype = jnp.float32
     packed: bool = False
     axis_name: Any = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.fused and _fusable(x):
+            fold = BNFold(axis_name=self.axis_name, name="norm")(x, train)
+            return Conv3x3(self.growth_rate, dtype=self.dtype,
+                           name="conv")(x, fold=fold)
         y = _bn(train, self.dtype, "norm", self.axis_name)(x)
         y = nn.relu(y)
         return Conv3x3(self.growth_rate, packed=self.packed, dtype=self.dtype,
@@ -147,6 +212,7 @@ class DenseBlock(nn.Module):
     dtype: Dtype = jnp.float32
     packed: bool = False
     axis_name: Any = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -154,6 +220,7 @@ class DenseBlock(nn.Module):
         for j in range(self.n_layers):
             out = DenseLayer(self.growth_rate, dtype=self.dtype,
                              packed=self.packed, axis_name=self.axis_name,
+                             fused=self.fused,
                              name=f"layers{j}")(x, train)
             x = jnp.concatenate([x, out], axis=-1)
             new_features.append(out)
@@ -225,6 +292,7 @@ class FCDenseNet(nn.Module):
     # ~30% extra forward FLOPs for fitting batch 8 @ 256x320 in 16G HBM)
     packed: bool = False  # MXU shifted-weight packing for the 3x3 convs
     axis_name: Any = None  # mesh axis for cross-shard BN under shard_map
+    fused: bool = False  # Pallas fused BN+ReLU+conv engine for dense layers
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -239,6 +307,7 @@ class FCDenseNet(nn.Module):
         for i, n in enumerate(self.down_blocks):
             out = block_cls(self.growth_rate, n, dtype=self.dtype,
                             packed=self.packed, axis_name=self.axis_name,
+                            fused=self.fused,
                             name=f"denseBlocksDown{i}")(out, train)
             skips.append(out)
             out = TransitionDown(dtype=self.dtype, axis_name=self.axis_name,
@@ -246,7 +315,8 @@ class FCDenseNet(nn.Module):
 
         out = block_cls(self.growth_rate, self.bottleneck_layers, upsample=True,
                         dtype=self.dtype, packed=self.packed,
-                        axis_name=self.axis_name, name="bottleneck")(out, train)
+                        axis_name=self.axis_name, fused=self.fused,
+                        name="bottleneck")(out, train)
 
         for i, n in enumerate(self.up_blocks):
             skip = skips.pop()
@@ -255,7 +325,7 @@ class FCDenseNet(nn.Module):
             out = block_cls(self.growth_rate, n,
                             upsample=(i < len(self.up_blocks) - 1),
                             dtype=self.dtype, packed=self.packed,
-                            axis_name=self.axis_name,
+                            axis_name=self.axis_name, fused=self.fused,
                             name=f"denseBlocksUp{i}")(out, train)
 
         out = nn.Conv(self.n_classes, (1, 1), use_bias=True,
@@ -265,27 +335,30 @@ class FCDenseNet(nn.Module):
 
 
 def FCDenseNet57(n_classes: int = 1, dtype=jnp.float32, remat: bool = False,
-                 packed: bool = False) -> FCDenseNet:
+                 packed: bool = False, fused: bool = False) -> FCDenseNet:
     """The configuration used by the reference drivers (models.py:190-194)."""
     return FCDenseNet(down_blocks=(4, 4, 4, 4, 4), up_blocks=(4, 4, 4, 4, 4),
                       bottleneck_layers=4, growth_rate=12, out_chans_first_conv=48,
-                      n_classes=n_classes, dtype=dtype, remat=remat, packed=packed)
+                      n_classes=n_classes, dtype=dtype, remat=remat,
+                      packed=packed, fused=fused)
 
 
 def FCDenseNet67(n_classes: int = 1, dtype=jnp.float32, remat: bool = False,
-                 packed: bool = False) -> FCDenseNet:
+                 packed: bool = False, fused: bool = False) -> FCDenseNet:
     """Reference models.py:197-201."""
     return FCDenseNet(down_blocks=(5, 5, 5, 5, 5), up_blocks=(5, 5, 5, 5, 5),
                       bottleneck_layers=5, growth_rate=16, out_chans_first_conv=48,
-                      n_classes=n_classes, dtype=dtype, remat=remat, packed=packed)
+                      n_classes=n_classes, dtype=dtype, remat=remat,
+                      packed=packed, fused=fused)
 
 
 def FCDenseNet103(n_classes: int = 1, dtype=jnp.float32, remat: bool = False,
-                  packed: bool = False) -> FCDenseNet:
+                  packed: bool = False, fused: bool = False) -> FCDenseNet:
     """Reference models.py:204-208."""
     return FCDenseNet(down_blocks=(4, 5, 7, 10, 12), up_blocks=(12, 10, 7, 5, 4),
                       bottleneck_layers=15, growth_rate=16, out_chans_first_conv=48,
-                      n_classes=n_classes, dtype=dtype, remat=remat, packed=packed)
+                      n_classes=n_classes, dtype=dtype, remat=remat,
+                      packed=packed, fused=fused)
 
 
 class UNetConvBlock(nn.Module):

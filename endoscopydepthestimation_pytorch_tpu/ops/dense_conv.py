@@ -143,8 +143,8 @@ def _fwd_kernel(top_ref, mid_ref, bot_ref, scale_ref, shift_ref, wp_ref,
 
 
 def _pick_rows(h: int, g: int) -> int:
-    """Row-block size: M = R*G*8 around 512-1280 within VMEM budget."""
-    target = max(1, 128 // g)
+    """Row-block size: M = R*G*8 around 1280-2560 within VMEM budget."""
+    target = max(1, 128 // g)  # larger blocks exceed the VMEM budget
     r = 1
     for cand in range(1, h + 1):
         if h % cand == 0 and cand <= target:

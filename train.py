@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--remat", action="store_true",
                    help="rematerialize dense blocks (needed for fp32 batch 8)")
+    p.add_argument("--fused_convs", action="store_true",
+                   help="use the Pallas fused dense-conv engine (wins on "
+                        "isolated layers; measured slower end-to-end than "
+                        "XLA's cross-op fusion — see PERF.md)")
     p.add_argument("--rgb_mode", type=str, default="rgb")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler device trace of epoch 0 here")
@@ -153,7 +157,9 @@ def main(argv=None):
                              seed=10085, drop_last=True)
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
-    model = MODELS[args.architecture](n_classes=1, dtype=dtype, remat=args.remat)
+    fused = args.fused_convs and jax.default_backend() == "tpu"
+    model = MODELS[args.architecture](n_classes=1, dtype=dtype,
+                                      remat=args.remat, fused=fused)
     config = training.TrainConfig(
         sfl_weight=args.sfl_weight, dcl_weight=args.dcl_weight,
         max_lr=args.max_lr, min_lr=args.min_lr, lr_step_size=args.num_iter,
