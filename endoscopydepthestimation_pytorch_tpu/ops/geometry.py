@@ -164,7 +164,11 @@ def scale_recovery(predicted_depths: jnp.ndarray, sparse_depths: jnp.ndarray,
 
     Keep sparse depths > 0.5 * their masked mean; the scale is the mean
     ratio sparse/predicted over the kept pixels. Also returns the
-    batch-mean of std(scale)/mean(scale), a stability diagnostic.
+    stability diagnostic mean(std_i) * mean(1/scale_j): the reference
+    divides a (B,) std vector by a (B,1,1,1) mean tensor, broadcasting to
+    (B,1,1,B) before the mean (models.py:361-363) — i.e. a CROSS-batch
+    normalization, reproduced exactly (golden-tested against the imported
+    reference layer; it is a logged diagnostic, not part of the loss).
 
     Parity: reference models.py:339-363 (DepthScalingLayer), NHWC.
     """
@@ -180,7 +184,7 @@ def scale_recovery(predicted_depths: jnp.ndarray, sparse_depths: jnp.ndarray,
     centered = scale_maps - above * mean_scales
     scale_stds = jnp.sqrt(jnp.sum(centered * centered, axes) / n_above[:, 0, 0, 0])
     scales = mean_scales[:, 0, 0, 0]
-    normalized_std = jnp.mean(scale_stds / scales)
+    normalized_std = jnp.mean(scale_stds) * jnp.mean(1.0 / scales)
     return mean_scales * predicted_depths, normalized_std
 
 

@@ -192,7 +192,10 @@ def test_scale_recovery_matches_formula():
                                scales.reshape(b, 1, 1, 1) * predicted, rtol=1e-4)
     centered = maps - above * scales.reshape(b, 1, 1, 1)
     stds = np.sqrt((centered ** 2).sum((1, 2, 3)) / above.sum((1, 2, 3)))
-    np.testing.assert_allclose(float(nstd), (stds / scales).mean(), rtol=1e-4)
+    # the reference broadcasts (B,)/(B,1,1,1) -> (B,1,1,B) before the mean
+    # (models.py:361-363): mean(std_i) * mean(1/scale_j), reproduced exactly
+    np.testing.assert_allclose(float(nstd), stds.mean() * (1.0 / scales).mean(),
+                               rtol=1e-4)
 
 
 def test_warp_depth_cycle_consistency():
