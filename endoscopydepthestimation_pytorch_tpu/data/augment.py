@@ -29,11 +29,14 @@ def _gamma(img, rng, lo=80, hi=120):
 
 
 def _hsv_shift(img, rng, hue_limit, sat_limit, val_limit):
-    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV_FULL).astype(np.int16)
-    hsv[..., 0] = (hsv[..., 0] + int(rng.uniform(-hue_limit, hue_limit))) % 256
-    hsv[..., 1] = np.clip(hsv[..., 1] + int(rng.uniform(-sat_limit, sat_limit)), 0, 255)
-    hsv[..., 2] = np.clip(hsv[..., 2] + int(rng.uniform(-val_limit, val_limit)), 0, 255)
-    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB_FULL)
+    # albumentations HueSaturationValue semantics: cv2's 180-range hue
+    # channel with mod-180 wrap (NOT the 256-range HSV_FULL — a +-30 shift
+    # there would be ~0.7x weaker), float shifts, sat/val clipped
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.float32)
+    hsv[..., 0] = np.mod(hsv[..., 0] + rng.uniform(-hue_limit, hue_limit), 180.0)
+    hsv[..., 1] = np.clip(hsv[..., 1] + rng.uniform(-sat_limit, sat_limit), 0, 255)
+    hsv[..., 2] = np.clip(hsv[..., 2] + rng.uniform(-val_limit, val_limit), 0, 255)
+    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
 
 
 def _blur(img, rng):
@@ -60,7 +63,8 @@ def _motion_blur(img, rng):
 
 
 def _jpeg(img, rng, lo=20, hi=100):
-    quality = int(rng.uniform(lo, hi))
+    # albumentations JpegCompression: integer quality, both bounds inclusive
+    quality = int(rng.randint(lo, hi + 1))
     ok, enc = cv2.imencode(".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
                            [int(cv2.IMWRITE_JPEG_QUALITY), quality])
     return cv2.cvtColor(cv2.imdecode(enc, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)

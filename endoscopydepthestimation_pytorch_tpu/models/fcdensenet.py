@@ -384,12 +384,15 @@ class UNet(nn.Module):
     depth: int = 6
     wf: int = 6
     padding: bool = True
-    up_mode: str = "upsample"  # nearest-upsample + conv (TPU-friendly)
+    up_mode: str = "upsample"  # 'upsample' (nearest-x2 + conv, TPU-friendly)
+    # or 'upconv' (3x3 stride-2 transposed conv, reference models.py:288-291)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         del train  # UNet has no normalization layers
+        if self.up_mode not in ("upsample", "upconv"):
+            raise ValueError(f"unknown up_mode {self.up_mode!r}")
         blocks = []
         for i in range(self.depth):
             x = UNetConvBlock(2 ** (self.wf + i), self.padding, dtype=self.dtype,
@@ -398,9 +401,20 @@ class UNet(nn.Module):
                 blocks.append(x)
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         for i in reversed(range(self.depth - 1)):
-            up = nearest_upsample_2x(x)
-            up = nn.Conv(2 ** (self.wf + i), (3, 3), padding=1, dtype=self.dtype,
-                         kernel_init=kaiming_normal, name=f"up{i}_conv")(up)
+            if self.up_mode == "upconv":
+                # torch ConvTranspose2d(k=3, s=2, p=1, output_p=1) doubles
+                # the spatial size; flax's SAME-padded stride-2 transpose
+                # has the same geometry (reference models.py:288-291)
+                up = nn.ConvTranspose(2 ** (self.wf + i), (3, 3),
+                                      strides=(2, 2), padding="SAME",
+                                      dtype=self.dtype,
+                                      kernel_init=kaiming_normal,
+                                      name=f"up{i}_conv")(x)
+            else:
+                up = nearest_upsample_2x(x)
+                up = nn.Conv(2 ** (self.wf + i), (3, 3), padding=1,
+                             dtype=self.dtype, kernel_init=kaiming_normal,
+                             name=f"up{i}_conv")(up)
             bridge = blocks.pop()
             bridge = center_crop(bridge, up.shape[1], up.shape[2])
             x = UNetConvBlock(2 ** (self.wf + i), self.padding, dtype=self.dtype,

@@ -220,3 +220,74 @@ def write_depth_outputs(results_root, colors, scaled_depths, boundaries,
                                        np.asarray(intrinsics)[j],
                                        point_cloud_downsampling)
         write_point_cloud(str(results_root / f"{prefix}point_cloud_{j}.ply"), cloud)
+
+
+# ---------------------------------------------------------------------------
+# interactive debug viewers (reference utils.py:707-781)
+# ---------------------------------------------------------------------------
+
+def _show_or_save(name: str, bgr: np.ndarray, interactive: bool,
+                  save_dir: Optional[str]):
+    if interactive:  # pragma: no cover - needs a display server
+        cv2.imshow(name, bgr)
+        cv2.waitKey(1)
+    if save_dir is not None:
+        out = Path(save_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(out / f"{name}.png"), bgr)
+
+
+def visualize_color_image(title: str, images, rebias: bool = False,
+                          is_hsv: bool = False, idx_list=None,
+                          interactive: bool = False,
+                          save_dir: Optional[str] = None) -> None:
+    """Per-sample color viewer (reference utils.py:707-725). Headless by
+    default: writes ``{title}{i}.png`` into ``save_dir``; pass
+    ``interactive=True`` for the reference's cv2.imshow behaviour."""
+    images = _to_numpy(images)
+    idx_list = range(images.shape[0]) if idx_list is None else idx_list
+    for i in idx_list:
+        img = images[i].astype(np.float32)
+        if rebias:
+            img = img * 0.5 + 0.5  # undo Normalize(mean=std=0.5)
+        img = np.uint8(np.clip(img * 255.0, 0, 255))
+        if is_hsv:
+            img = cv2.cvtColor(img, cv2.COLOR_HSV2BGR_FULL)
+        else:
+            img = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+        _show_or_save(f"{title}{i}", img, interactive, save_dir)
+
+
+def visualize_depth_map(title: str, depths, min_value: Optional[float] = None,
+                        max_value: Optional[float] = None, idx_list=None,
+                        interactive: bool = False,
+                        save_dir: Optional[str] = None):
+    """Per-sample JET depth viewer (reference utils.py:728-770). Returns
+    the (min, max) used, like the reference's display_depth_map chain."""
+    depths = _to_numpy(depths).astype(np.float32)
+    if depths.ndim == 4:
+        depths = depths[..., 0]
+    if min_value is None:
+        min_value = float(depths.min())
+    if max_value is None:
+        max_value = float(depths.max())
+    idx_list = range(depths.shape[0]) if idx_list is None else idx_list
+    span = max(max_value - min_value, 1.0e-8)
+    for i in idx_list:
+        norm = np.uint8(np.clip((depths[i] - min_value) / span * 255.0, 0, 255))
+        _show_or_save(f"{title}{i}", cv2.applyColorMap(norm, cv2.COLORMAP_JET),
+                      interactive, save_dir)
+    return min_value, max_value
+
+
+def display_depth_map(depth_map, min_value: Optional[float] = None,
+                      max_value: Optional[float] = None) -> np.ndarray:
+    """Single-map JET render (reference utils.py:773-781), returned BGR
+    uint8 rather than imshow'n."""
+    d = _to_numpy(depth_map).astype(np.float32)
+    if d.ndim == 3:
+        d = d[..., 0]
+    lo = float(d.min()) if min_value is None else min_value
+    hi = float(d.max()) if max_value is None else max_value
+    norm = np.uint8(np.clip((d - lo) / max(hi - lo, 1.0e-8) * 255.0, 0, 255))
+    return cv2.applyColorMap(norm, cv2.COLORMAP_JET)

@@ -214,3 +214,37 @@ def test_weight_histograms_smoke(tmp_path):
     writer = viz.MetricWriter(tmp_path)
     viz.weight_histograms(params, writer, step=0)
     writer.close()
+
+
+def test_network_validation_feeds_robust_selection(tmp_path):
+    """The standalone validation routine (reference utils.py:1615-1731)
+    returns (mean, per-batch vector); the vector drives save_if_best
+    end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    from endoscopydepthestimation_pytorch_tpu import training, validation
+    from endoscopydepthestimation_pytorch_tpu import failure
+    from endoscopydepthestimation_pytorch_tpu.models import FCDenseNet57
+    from tests.test_training import _synthetic_batch
+
+    config = training.TrainConfig(lr_step_size=10)
+    model = FCDenseNet57(n_classes=1)
+    state = training.create_train_state(model, jax.random.PRNGKey(0),
+                                        (1, 32, 32, 3), config)
+    batches = [_synthetic_batch(seed=s, batch=2, h=32, w=32)
+               for s in range(3)]
+
+    mean, vector = validation.network_validation(state, batches,
+                                                 sfl_weight=20.0,
+                                                 dcl_weight=5.0)
+    assert len(vector) == 3
+    assert np.isfinite(mean)
+    assert mean == pytest.approx(np.mean(vector))
+
+    saved = []
+    best = failure.save_if_best(lambda p: saved.append(str(p)), tmp_path,
+                                tmp_path / "best", "0",
+                                vector, [v + 1.0 for v in vector])
+    assert list(best) == vector           # better -> adopted
+    assert any(s.endswith("best") for s in saved)

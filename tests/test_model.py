@@ -118,6 +118,30 @@ def test_unet_shapes():
     assert y.shape == (2, 64, 64, 1)
 
 
+def test_unet_upconv_mode():
+    """The reference's transposed-conv up path (models.py:288-291): same
+    output geometry, trainable, distinct parameterization."""
+    model = UNet(out_channels=1, depth=4, wf=4, up_mode="upconv")
+    variables = jax.jit(lambda k: model.init(k, jnp.zeros((1, 64, 64, 3))))(
+        jax.random.PRNGKey(0))
+    x = jnp.ones((2, 64, 64, 3))
+    y = jax.jit(model.apply)(variables, x)
+    assert y.shape == (2, 64, 64, 1)
+    # transposed-conv kernels exist where the upsample path had plain convs
+    up_kernel = variables["params"]["up2_conv"]["kernel"]
+    assert up_kernel.shape[:2] == (3, 3)
+    # gradient flows through the transposed convs
+    g = jax.grad(lambda p: float(jnp.sum(model.apply({"params": p}, x))) if False
+                 else jnp.sum(model.apply({"params": p}, x)))(variables["params"])
+    gn = float(jnp.sqrt(sum(jnp.sum(jnp.square(t)) for t in jax.tree.leaves(g))))
+    assert np.isfinite(gn) and gn > 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="up_mode"):
+        UNet(up_mode="nope", depth=3, wf=3).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+
 def test_kaiming_init_statistics():
     """Conv kernels follow std=sqrt(2/fan_in) (reference utils.py:655-671)."""
     model = FCDenseNet57(n_classes=1)
