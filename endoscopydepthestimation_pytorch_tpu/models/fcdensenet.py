@@ -98,16 +98,46 @@ class Conv3x3(nn.Module):
     'bias'), dispatching to the packed evaluation when enabled and the
     spatial dims divide the packing tile. With ``fold=(scale, shift)`` the
     Pallas engine computes conv(relu(x*scale + shift)) in one fused pass
-    (ops/dense_conv.py)."""
+    (ops/dense_conv.py).
+
+    ``x`` may also be a LIST of concat segments (with ``fold`` required):
+    the conv is then evaluated as a sum of per-segment convs of
+    relu(seg*scale+shift) over kernel channel slices — mathematically the
+    conv of the materialized concat, without ever writing the concat
+    (channel-dim concatenates measured at 168 GB/s are the single biggest
+    cost of the step; see PERF.md round-2 profile)."""
     features: int
     packed: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, fold=None):
+    def __call__(self, x, fold=None, raw: bool = False):
+        segments = x if isinstance(x, (list, tuple)) else None
+        cin = (sum(s.shape[-1] for s in segments) if segments is not None
+               else (x if isinstance(x, int) else x.shape[-1]))
         kernel = self.param("kernel", kaiming_normal,
-                            (3, 3, x.shape[-1], self.features), jnp.float32)
+                            (3, 3, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if raw:
+            return kernel, bias
+        if segments is not None:
+            assert fold is not None
+            scale, shift = fold
+            y = None
+            off = 0
+            for seg in segments:
+                cs = seg.shape[-1]
+                seg = seg.astype(self.dtype)
+                a = nn.relu(seg * scale[off:off + cs].astype(seg.dtype)
+                            + shift[off:off + cs].astype(seg.dtype))
+                k = jax.lax.slice_in_dim(kernel, off, off + cs, axis=2)
+                if self.packed and a.shape[1] % 2 == 0 and a.shape[2] % 4 == 0:
+                    t = packed_conv3x3(a, k, 2, 4)
+                else:
+                    t = _plain_conv3x3(a, k)
+                y = t if y is None else y + t
+                off += cs
+            return y + bias.astype(y.dtype)
         x = x.astype(self.dtype)
         if fold is not None:
             from ..ops.dense_conv import fused_dense_conv
@@ -119,10 +149,21 @@ class Conv3x3(nn.Module):
         return y + bias.astype(y.dtype)
 
 
+def segment_stats(x) -> tuple:
+    """Per-channel batch (mean, mean-of-squares) of one concat segment, in
+    f32. Segments appear as BN input in EVERY later dense layer; computing
+    their statistics once and concatenating (BNFold ``stats=``) replaces
+    the reference's per-layer re-reduction over the whole concat — same
+    data, same reductions, ~4x fewer passes."""
+    xf = x.astype(jnp.float32)
+    return jnp.mean(xf, axis=(0, 1, 2)), jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+
+
 class BNFold(nn.Module):
     """BatchNorm that RETURNS the folded per-channel (scale, shift) instead
     of a normalized tensor, for fusion into the Pallas dense-conv kernel
-    (relu(x*scale + shift) == relu(batchnorm(x))).
+    (relu(x*scale + shift) == relu(batchnorm(x))) and into the
+    segment-decomposed dense layers.
 
     Declares the exact variable set of ``nn.BatchNorm`` — params
     {scale, bias}, batch_stats {mean, var} — so the parameter tree, torch
@@ -130,24 +171,32 @@ class BNFold(nn.Module):
     the fused path is active. Statistics math mirrors flax: batch mean /
     mean-of-squares in f32, optional cross-shard pmean via ``axis_name``,
     running stats updated with momentum 0.9 (torch 0.1).
+
+    ``x`` may be the input tensor or just its channel count when
+    precomputed ``stats=(mean, mean_of_squares)`` are supplied.
     """
     momentum: float = 0.9
     epsilon: float = 1e-5
     axis_name: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        c = x.shape[-1]
+    def __call__(self, x, train: bool, stats=None, raw: bool = False):
+        c = x if isinstance(x, int) else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
+        if raw:
+            # parameter access only (for the block-level custom VJP, which
+            # folds/normalizes internally); no statistics update
+            return scale, bias
         if train and not self.is_initializing():
-            xf = x.astype(jnp.float32)
-            mu = jnp.mean(xf, axis=(0, 1, 2))
-            mean2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            if stats is None:
+                mu, mean2 = segment_stats(x)
+            else:
+                mu, mean2 = stats
             if self.axis_name is not None:
                 mu = jax.lax.pmean(mu, self.axis_name)
                 mean2 = jax.lax.pmean(mean2, self.axis_name)
@@ -181,9 +230,14 @@ def _fusable(x) -> bool:
 class DenseLayer(nn.Module):
     """BN -> ReLU -> 3x3 conv(growth_rate). Reference models.py:19-28.
 
+    ``x`` may be a list of concat segments (with ``seg_stats`` the
+    per-segment batch statistics): BN folds the concatenated statistics
+    into per-channel (scale, shift) and the conv runs segment-decomposed
+    (see Conv3x3) — exactly the BN+ReLU+conv of the materialized concat.
+
     ``fused=True`` routes BN+ReLU+conv through the position-packed Pallas
     engine (ops/dense_conv.py) when the shape qualifies; the parameter
-    tree is identical either way (BNFold declares nn.BatchNorm's exact
+    tree is identical in all modes (BNFold declares nn.BatchNorm's exact
     variables)."""
     growth_rate: int
     dtype: Dtype = jnp.float32
@@ -192,11 +246,43 @@ class DenseLayer(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, seg_stats=None, raw: bool = False,
+                 stats=None):
+        if raw:
+            # declare and return (gamma, beta, kernel, bias) for the
+            # buffered block's custom VJP; x is the input channel count
+            gb = BNFold(axis_name=self.axis_name, name="norm")(x, train, raw=True)
+            kb = Conv3x3(self.growth_rate, dtype=self.dtype,
+                         name="conv")(x, raw=True)
+            return gb + kb
+        if isinstance(x, int):
+            # running-statistics update only (stats were computed inside
+            # the buffered block's custom VJP, already cross-shard-reduced)
+            BNFold(axis_name=None, name="norm")(x, train, stats=stats)
+            return None
+        if isinstance(x, (list, tuple)):
+            mu = jnp.concatenate([s[0] for s in seg_stats])
+            mean2 = jnp.concatenate([s[1] for s in seg_stats])
+            fold = BNFold(axis_name=self.axis_name, name="norm")(
+                sum(s.shape[-1] for s in x), train, stats=(mu, mean2))
+            return Conv3x3(self.growth_rate, packed=self.packed,
+                           dtype=self.dtype, name="conv")(list(x), fold=fold)
         if self.fused and _fusable(x):
             fold = BNFold(axis_name=self.axis_name, name="norm")(x, train)
             return Conv3x3(self.growth_rate, dtype=self.dtype,
                            name="conv")(x, fold=fold)
+        if stats is not None:
+            # materialized concat input with SHARED per-segment statistics
+            # (computed once per segment at block level): folded BN affine
+            # + ReLU + one whole-K conv. Skips the per-layer re-reduction
+            # of the whole concat (reference recomputes identical stats
+            # every layer; same data => same statistics).
+            fold = BNFold(axis_name=self.axis_name, name="norm")(
+                x.shape[-1], train, stats=stats)
+            x = x.astype(self.dtype)
+            a = nn.relu(x * fold[0].astype(x.dtype) + fold[1].astype(x.dtype))
+            return Conv3x3(self.growth_rate, packed=self.packed,
+                           dtype=self.dtype, name="conv")(a)
         y = _bn(train, self.dtype, "norm", self.axis_name)(x)
         y = nn.relu(y)
         return Conv3x3(self.growth_rate, packed=self.packed, dtype=self.dtype,
@@ -205,7 +291,15 @@ class DenseLayer(nn.Module):
 
 class DenseBlock(nn.Module):
     """Iterative concat of dense layers. With ``upsample=True`` only the new
-    features are returned (reference models.py:31-53)."""
+    features are returned (reference models.py:31-53).
+
+    ``segmented=True`` (the default) keeps the growing concat as a LIST of
+    segments threaded through the layers: the per-layer channel
+    concatenates — pure HBM traffic at the measured 168 GB/s concat rate —
+    are never materialized, and per-segment BN statistics are computed
+    once instead of once per consuming layer. A non-upsample block then
+    RETURNS the segment list; FCDenseNet threads it through transitions.
+    The materialized path remains for the Pallas fused engine."""
     growth_rate: int
     n_layers: int
     upsample: bool = False
@@ -213,30 +307,153 @@ class DenseBlock(nn.Module):
     packed: bool = False
     axis_name: Any = None
     fused: bool = False
+    segmented: bool = False
+    buffered: bool = False
+    with_stats: bool = False  # non-upsample blocks also return the output
+    # concat's per-channel (mean, mean_sq) so TransitionDown can reuse them
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if (self.buffered and train and not self.fused and not self.segmented
+                and not self.is_initializing()):
+            # Memory-efficient buffered block (ops/dense_block.py): one
+            # append-only buffer, no concat materialization, shared
+            # per-segment BN statistics, and a block-level custom VJP that
+            # saves only the final buffer. Train mode only — eval has no
+            # gradient and uses the materialized path below (same math).
+            from ..ops.dense_block import dense_block_apply
+            if isinstance(x, (list, tuple)):
+                x = jnp.concatenate([s.astype(self.dtype) for s in x], axis=-1)
+            x = x.astype(self.dtype)
+            c0 = x.shape[-1]
+            g = self.growth_rate
+            layers = [DenseLayer(g, dtype=self.dtype, axis_name=self.axis_name,
+                                 name=f"layers{j}") for j in range(self.n_layers)]
+            params = [layers[j](c0 + j * g, train, raw=True)
+                      for j in range(self.n_layers)]
+            dims = (g, self.n_layers, 1e-5,
+                    self.axis_name if isinstance(self.axis_name, str) else None)
+            buf, mu, m2 = dense_block_apply(
+                dims, x,
+                tuple(p[0] for p in params), tuple(p[1] for p in params),
+                tuple(p[2] for p in params), tuple(p[3] for p in params))
+            for j in range(self.n_layers):
+                cj = c0 + j * g
+                layers[j](cj, train, stats=(mu[:cj], m2[:cj]))
+            if self.upsample:
+                return jax.lax.slice_in_dim(buf, c0, buf.shape[-1], axis=3)
+            if self.with_stats:
+                return buf, (mu, m2)
+            return buf
+        if self.segmented and not self.fused:
+            # Segment granularity matters: per-12-channel-segment convs are
+            # K=12 MXU-starved and read misaligned (measured 4-5 TF/s, 2.7x
+            # slower step). Keep the block INPUT segments separate (never
+            # re-materialized into the giant concat) but merge the new
+            # growth-12 features into one growing tensor via cheap <= 36ch
+            # concats, so each layer runs a few decent-K convs.
+            segments = list(x) if isinstance(x, (list, tuple)) else [x]
+            stats = [segment_stats(s) for s in segments]
+            newcat, newstats = None, None
+            for j in range(self.n_layers):
+                segs_in = segments + ([newcat] if newcat is not None else [])
+                stats_in = stats + ([newstats] if newstats is not None else [])
+                out = DenseLayer(self.growth_rate, dtype=self.dtype,
+                                 packed=self.packed, axis_name=self.axis_name,
+                                 name=f"layers{j}")(segs_in, train, stats_in)
+                out_stats = segment_stats(out)
+                if newcat is None:
+                    newcat, newstats = out, out_stats
+                else:
+                    newcat = jnp.concatenate([newcat, out], axis=-1)
+                    newstats = (jnp.concatenate([newstats[0], out_stats[0]]),
+                                jnp.concatenate([newstats[1], out_stats[1]]))
+            if self.upsample:
+                return newcat  # == the concat of the new features
+            return segments + [newcat]
+        if isinstance(x, (list, tuple)):
+            x = jnp.concatenate([s.astype(self.dtype) for s in x], axis=-1)
         new_features = []
+        # per-segment statistics, computed once when a segment is produced
+        # and concatenated forward (1-D vectors) — the folded-BN layers
+        # then skip the reference's per-layer whole-concat re-reduction
+        stats = segment_stats(x)
         for j in range(self.n_layers):
             out = DenseLayer(self.growth_rate, dtype=self.dtype,
                              packed=self.packed, axis_name=self.axis_name,
-                             fused=self.fused,
-                             name=f"layers{j}")(x, train)
+                             fused=self.fused, name=f"layers{j}")(
+                x, train, stats=None if self.fused else stats)
             x = jnp.concatenate([x, out], axis=-1)
+            so = segment_stats(out)
+            stats = (jnp.concatenate([stats[0], so[0]]),
+                     jnp.concatenate([stats[1], so[1]]))
             new_features.append(out)
         if self.upsample:
             return jnp.concatenate(new_features, axis=-1)
+        if self.with_stats:
+            return x, stats
         return x
+
+
+class Conv1x1(nn.Module):
+    """1x1 conv over a segment list with nn.Conv's exact parameter tree
+    ({kernel: (1,1,Cin,Cout), bias}): one dot_general per segment over the
+    kernel's channel slice, summed — the 1x1 conv of the virtual concat.
+    ``pre`` optionally applies relu(seg*scale+shift) per segment first."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, segments, pre=None):
+        cin = sum(s.shape[-1] for s in segments)
+        kernel = self.param("kernel", kaiming_normal,
+                            (1, 1, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        y = None
+        off = 0
+        for seg in segments:
+            cs = seg.shape[-1]
+            seg = seg.astype(self.dtype)
+            if pre is not None:
+                scale, shift = pre
+                seg = nn.relu(seg * scale[off:off + cs].astype(seg.dtype)
+                              + shift[off:off + cs].astype(seg.dtype))
+            k = kernel[0, 0, off:off + cs].astype(seg.dtype)
+            t = jax.lax.dot_general(seg, k, (((3,), (0,)), ((), ())))
+            y = t if y is None else y + t
+            off += cs
+        return y + bias.astype(y.dtype)
 
 
 class TransitionDown(nn.Module):
     """BN -> ReLU -> 1x1 conv (same channels) -> 2x2 maxpool.
-    Reference models.py:56-67."""
+    Reference models.py:56-67. Accepts a dense block's segment list and
+    evaluates BN/conv segment-decomposed (concat never materialized)."""
     dtype: Dtype = jnp.float32
     axis_name: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, stats=None):
+        if isinstance(x, (list, tuple)):
+            c = sum(s.shape[-1] for s in x)
+            mu = jnp.concatenate([segment_stats(s)[0] for s in x])
+            mean2 = jnp.concatenate([segment_stats(s)[1] for s in x])
+            fold = BNFold(axis_name=self.axis_name, name="norm")(
+                c, train, stats=(mu, mean2))
+            y = Conv1x1(c, dtype=self.dtype, name="conv")(list(x), pre=fold)
+            return nn.max_pool(y, (2, 2), strides=(2, 2))
+        if stats is not None:
+            # reuse the producing block's per-channel statistics (same
+            # tensor, same reduction) via the folded-BN affine
+            fold = BNFold(axis_name=self.axis_name, name="norm")(
+                x.shape[-1], train, stats=stats)
+            x = x.astype(self.dtype)
+            y = nn.relu(x * fold[0].astype(x.dtype) + fold[1].astype(x.dtype))
+            y = nn.Conv(x.shape[-1], (1, 1), use_bias=True,
+                        kernel_init=kaiming_normal, dtype=self.dtype,
+                        name="conv")(y)
+            return nn.max_pool(y, (2, 2), strides=(2, 2))
         y = _bn(train, self.dtype, "norm", self.axis_name)(x)
         y = nn.relu(y)
         y = nn.Conv(x.shape[-1], (1, 1), use_bias=True, kernel_init=kaiming_normal,
@@ -260,7 +477,8 @@ def nearest_upsample_2x(x):
 
 class TransitionUp(nn.Module):
     """nearest-x2 upsample -> 3x3 conv, center-crop to the skip's spatial
-    size, concat [up, skip]. Reference models.py:70-80."""
+    size, concat [up, skip]. Reference models.py:70-80. When the skip is a
+    segment list the "concat" stays virtual: returns [up] + skip."""
     out_channels: int
     dtype: Dtype = jnp.float32
     packed: bool = False
@@ -270,6 +488,9 @@ class TransitionUp(nn.Module):
         y = nearest_upsample_2x(x)
         y = Conv3x3(self.out_channels, packed=self.packed, dtype=self.dtype,
                     name="conv")(y)
+        if isinstance(skip, (list, tuple)):
+            y = center_crop(y, skip[0].shape[1], skip[0].shape[2])
+            return [y] + list(skip)
         y = center_crop(y, skip.shape[1], skip.shape[2])
         return jnp.concatenate([y, skip], axis=-1)
 
@@ -293,6 +514,18 @@ class FCDenseNet(nn.Module):
     packed: bool = False  # MXU shifted-weight packing for the 3x3 convs
     axis_name: Any = None  # mesh axis for cross-shard BN under shard_map
     fused: bool = False  # Pallas fused BN+ReLU+conv engine for dense layers
+    segmented: bool = False  # segment-decomposed dense blocks (no concat
+    # materialization; per-segment BN stats shared across layers). Measured
+    # SLOWER on v5e than the materialized concats (233 vs 198 ms step):
+    # sub-128-channel convs/tensors pay lane-padding traffic that outweighs
+    # the saved concatenates. Kept for A/B; see PERF.md round 2.
+    buffered: bool = False  # memory-efficient buffered dense blocks with a
+    # block-level custom VJP (ops/dense_block.py). Measured SLOWER on v5e
+    # (380 ms step): XLA lowers the misaligned-channel-offset
+    # dynamic_update_slice as a full-buffer lane-shifting copy at ~14 GB/s
+    # (197 ms of DUS). Kept for A/B; its backward structure (only the
+    # final concat saved, manual BN-through-stats gradient) is reused by
+    # the packed Pallas block. See PERF.md round 2.
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -305,60 +538,78 @@ class FCDenseNet(nn.Module):
 
         skips = []
         for i, n in enumerate(self.down_blocks):
-            out = block_cls(self.growth_rate, n, dtype=self.dtype,
+            res = block_cls(self.growth_rate, n, dtype=self.dtype,
                             packed=self.packed, axis_name=self.axis_name,
-                            fused=self.fused,
+                            fused=self.fused, segmented=self.segmented,
+                            buffered=self.buffered,
+                            with_stats=not self.segmented,
                             name=f"denseBlocksDown{i}")(out, train)
+            out, bstats = res if isinstance(res, tuple) else (res, None)
             skips.append(out)
             out = TransitionDown(dtype=self.dtype, axis_name=self.axis_name,
-                                 name=f"transDownBlocks{i}")(out, train)
+                                 name=f"transDownBlocks{i}")(out, train,
+                                                             stats=bstats)
 
         out = block_cls(self.growth_rate, self.bottleneck_layers, upsample=True,
                         dtype=self.dtype, packed=self.packed,
                         axis_name=self.axis_name, fused=self.fused,
+                        segmented=self.segmented, buffered=self.buffered,
                         name="bottleneck")(out, train)
 
         for i, n in enumerate(self.up_blocks):
             skip = skips.pop()
-            out = TransitionUp(out.shape[-1], dtype=self.dtype, packed=self.packed,
+            up_channels = (out.shape[-1] if not isinstance(out, (list, tuple))
+                           else sum(s.shape[-1] for s in out))
+            out = TransitionUp(up_channels, dtype=self.dtype, packed=self.packed,
                                name=f"transUpBlocks{i}")(out, skip)
             out = block_cls(self.growth_rate, n,
                             upsample=(i < len(self.up_blocks) - 1),
                             dtype=self.dtype, packed=self.packed,
                             axis_name=self.axis_name, fused=self.fused,
+                            segmented=self.segmented, buffered=self.buffered,
                             name=f"denseBlocksUp{i}")(out, train)
 
-        out = nn.Conv(self.n_classes, (1, 1), use_bias=True,
-                      kernel_init=kaiming_normal, dtype=self.dtype,
-                      name="finalConv")(out)
+        if isinstance(out, (list, tuple)):
+            out = Conv1x1(self.n_classes, dtype=self.dtype,
+                          name="finalConv")(list(out))
+        else:
+            out = nn.Conv(self.n_classes, (1, 1), use_bias=True,
+                          kernel_init=kaiming_normal, dtype=self.dtype,
+                          name="finalConv")(out)
         return jnp.abs(out).astype(jnp.float32)
 
 
 def FCDenseNet57(n_classes: int = 1, dtype=jnp.float32, remat: bool = False,
-                 packed: bool = False, fused: bool = False) -> FCDenseNet:
+                 packed: bool = False, fused: bool = False,
+                 segmented: bool = False, buffered: bool = False) -> FCDenseNet:
     """The configuration used by the reference drivers (models.py:190-194)."""
     return FCDenseNet(down_blocks=(4, 4, 4, 4, 4), up_blocks=(4, 4, 4, 4, 4),
                       bottleneck_layers=4, growth_rate=12, out_chans_first_conv=48,
                       n_classes=n_classes, dtype=dtype, remat=remat,
-                      packed=packed, fused=fused)
+                      packed=packed, fused=fused, segmented=segmented,
+                      buffered=buffered)
 
 
 def FCDenseNet67(n_classes: int = 1, dtype=jnp.float32, remat: bool = False,
-                 packed: bool = False, fused: bool = False) -> FCDenseNet:
+                 packed: bool = False, fused: bool = False,
+                 segmented: bool = False, buffered: bool = False) -> FCDenseNet:
     """Reference models.py:197-201."""
     return FCDenseNet(down_blocks=(5, 5, 5, 5, 5), up_blocks=(5, 5, 5, 5, 5),
                       bottleneck_layers=5, growth_rate=16, out_chans_first_conv=48,
                       n_classes=n_classes, dtype=dtype, remat=remat,
-                      packed=packed, fused=fused)
+                      packed=packed, fused=fused, segmented=segmented,
+                      buffered=buffered)
 
 
 def FCDenseNet103(n_classes: int = 1, dtype=jnp.float32, remat: bool = False,
-                  packed: bool = False, fused: bool = False) -> FCDenseNet:
+                  packed: bool = False, fused: bool = False,
+                  segmented: bool = False, buffered: bool = False) -> FCDenseNet:
     """Reference models.py:204-208."""
     return FCDenseNet(down_blocks=(4, 5, 7, 10, 12), up_blocks=(12, 10, 7, 5, 4),
                       bottleneck_layers=15, growth_rate=16, out_chans_first_conv=48,
                       n_classes=n_classes, dtype=dtype, remat=remat,
-                      packed=packed, fused=fused)
+                      packed=packed, fused=fused, segmented=segmented,
+                      buffered=buffered)
 
 
 class UNetConvBlock(nn.Module):

