@@ -8,6 +8,7 @@ prefetch them to device — the TPU-native replacement for
 """
 from __future__ import annotations
 
+import os
 import queue
 import random
 import threading
@@ -226,7 +227,10 @@ class BatchLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.num_workers = max(1, num_workers)
+        # more worker threads than cores THRASH (measured: 4 workers on a
+        # 1-core host produce batches 5x slower than 1 worker — GIL +
+        # context-switch churn on the numpy-heavy parts)
+        self.num_workers = max(1, min(num_workers, os.cpu_count() or num_workers))
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch

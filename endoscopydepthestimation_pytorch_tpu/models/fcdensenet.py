@@ -309,34 +309,54 @@ class DenseBlock(nn.Module):
     fused: bool = False
     segmented: bool = False
     buffered: bool = False
+    block_packed: bool = False  # Pallas packed-block forward + recompute
+    # backward (ops/dense_block_packed.py); falls back to materialized when
+    # B % 8 != 0 or W % 8 != 0 (bottleneck level, tiny shard_map shards)
     with_stats: bool = False  # non-upsample blocks also return the output
     # concat's per-channel (mean, mean_sq) so TransitionDown can reuse them
 
+    def _block_vjp_path(self, x, train: bool):
+        """Shared plumbing of the two block-level custom-VJP modes
+        (``buffered``: XLA append buffer; ``block_packed``: Pallas packed
+        forward). Returns None when the gate does not apply."""
+        if not (train and not self.fused and not self.segmented
+                and not self.is_initializing()):
+            return None
+        if not (self.buffered or self.block_packed):
+            return None
+        if isinstance(x, (list, tuple)):
+            x = jnp.concatenate([s.astype(self.dtype) for s in x], axis=-1)
+        x = x.astype(self.dtype)
+        b, hh, ww, c0 = x.shape
+        if self.block_packed and not (b % 8 == 0 and ww % 8 == 0):
+            # packed layout wants batch octets and whole position groups
+            # (e.g. the 16x20 bottleneck, or tiny per-shard batches under
+            # shard_map) — fall back to the materialized path
+            if not self.buffered:
+                return None
+        g = self.growth_rate
+        layers = [DenseLayer(g, dtype=self.dtype, axis_name=self.axis_name,
+                             name=f"layers{j}") for j in range(self.n_layers)]
+        params = [layers[j](c0 + j * g, train, raw=True)
+                  for j in range(self.n_layers)]
+        dims = (g, self.n_layers, 1e-5,
+                self.axis_name if isinstance(self.axis_name, str) else None)
+        if self.block_packed and b % 8 == 0 and ww % 8 == 0:
+            from ..ops.dense_block_packed import packed_block_apply as apply_fn
+        else:
+            from ..ops.dense_block import dense_block_apply as apply_fn
+        buf, mu, m2 = apply_fn(
+            dims, x,
+            tuple(p[0] for p in params), tuple(p[1] for p in params),
+            tuple(p[2] for p in params), tuple(p[3] for p in params))
+        return buf, mu, m2, layers, c0
+
     @nn.compact
     def __call__(self, x, train: bool):
-        if (self.buffered and train and not self.fused and not self.segmented
-                and not self.is_initializing()):
-            # Memory-efficient buffered block (ops/dense_block.py): one
-            # append-only buffer, no concat materialization, shared
-            # per-segment BN statistics, and a block-level custom VJP that
-            # saves only the final buffer. Train mode only — eval has no
-            # gradient and uses the materialized path below (same math).
-            from ..ops.dense_block import dense_block_apply
-            if isinstance(x, (list, tuple)):
-                x = jnp.concatenate([s.astype(self.dtype) for s in x], axis=-1)
-            x = x.astype(self.dtype)
-            c0 = x.shape[-1]
+        res = self._block_vjp_path(x, train)
+        if res is not None:
+            buf, mu, m2, layers, c0 = res
             g = self.growth_rate
-            layers = [DenseLayer(g, dtype=self.dtype, axis_name=self.axis_name,
-                                 name=f"layers{j}") for j in range(self.n_layers)]
-            params = [layers[j](c0 + j * g, train, raw=True)
-                      for j in range(self.n_layers)]
-            dims = (g, self.n_layers, 1e-5,
-                    self.axis_name if isinstance(self.axis_name, str) else None)
-            buf, mu, m2 = dense_block_apply(
-                dims, x,
-                tuple(p[0] for p in params), tuple(p[1] for p in params),
-                tuple(p[2] for p in params), tuple(p[3] for p in params))
             for j in range(self.n_layers):
                 cj = c0 + j * g
                 layers[j](cj, train, stats=(mu[:cj], m2[:cj]))
@@ -526,6 +546,16 @@ class FCDenseNet(nn.Module):
     # (197 ms of DUS). Kept for A/B; its backward structure (only the
     # final concat saved, manual BN-through-stats gradient) is reused by
     # the packed Pallas block. See PERF.md round 2.
+    block_packed: bool = False  # Pallas packed-block dense blocks: forward
+    # threads activations in the position-packed layout (one pack per
+    # block, lane concats, BN+ReLU+conv fused in VMEM) and the backward is
+    # the buffered block's prefix-recompute VJP (ops/dense_block_packed.py).
+    segmented_last_up: bool = False  # segment-decompose ONLY the final
+    # (full-resolution, non-upsample) up block: its incremental concats
+    # are the single most expensive op of the step (20.2 ms of the 180,
+    # round-2 profile) while its input stays one whole-K tensor, so the
+    # lane-tax penalty that makes whole-model segmentation lose is limited
+    # to the small growing new-features tensor.
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -542,6 +572,7 @@ class FCDenseNet(nn.Module):
                             packed=self.packed, axis_name=self.axis_name,
                             fused=self.fused, segmented=self.segmented,
                             buffered=self.buffered,
+                            block_packed=self.block_packed,
                             with_stats=not self.segmented,
                             name=f"denseBlocksDown{i}")(out, train)
             out, bstats = res if isinstance(res, tuple) else (res, None)
@@ -554,6 +585,7 @@ class FCDenseNet(nn.Module):
                         dtype=self.dtype, packed=self.packed,
                         axis_name=self.axis_name, fused=self.fused,
                         segmented=self.segmented, buffered=self.buffered,
+                        block_packed=self.block_packed,
                         name="bottleneck")(out, train)
 
         for i, n in enumerate(self.up_blocks):
@@ -562,11 +594,15 @@ class FCDenseNet(nn.Module):
                            else sum(s.shape[-1] for s in out))
             out = TransitionUp(up_channels, dtype=self.dtype, packed=self.packed,
                                name=f"transUpBlocks{i}")(out, skip)
+            last = i == len(self.up_blocks) - 1
             out = block_cls(self.growth_rate, n,
-                            upsample=(i < len(self.up_blocks) - 1),
+                            upsample=not last,
                             dtype=self.dtype, packed=self.packed,
                             axis_name=self.axis_name, fused=self.fused,
-                            segmented=self.segmented, buffered=self.buffered,
+                            segmented=(self.segmented or
+                                       (last and self.segmented_last_up)),
+                            buffered=self.buffered,
+                            block_packed=self.block_packed,
                             name=f"denseBlocksUp{i}")(out, train)
 
         if isinstance(out, (list, tuple)):
@@ -581,35 +617,38 @@ class FCDenseNet(nn.Module):
 
 def FCDenseNet57(n_classes: int = 1, dtype=jnp.float32, remat: bool = False,
                  packed: bool = False, fused: bool = False,
-                 segmented: bool = False, buffered: bool = False) -> FCDenseNet:
+                 segmented: bool = False, buffered: bool = False,
+                 block_packed: bool = False, **flags) -> FCDenseNet:
     """The configuration used by the reference drivers (models.py:190-194)."""
     return FCDenseNet(down_blocks=(4, 4, 4, 4, 4), up_blocks=(4, 4, 4, 4, 4),
                       bottleneck_layers=4, growth_rate=12, out_chans_first_conv=48,
                       n_classes=n_classes, dtype=dtype, remat=remat,
                       packed=packed, fused=fused, segmented=segmented,
-                      buffered=buffered)
+                      buffered=buffered, block_packed=block_packed, **flags)
 
 
 def FCDenseNet67(n_classes: int = 1, dtype=jnp.float32, remat: bool = False,
                  packed: bool = False, fused: bool = False,
-                 segmented: bool = False, buffered: bool = False) -> FCDenseNet:
+                 segmented: bool = False, buffered: bool = False,
+                 block_packed: bool = False, **flags) -> FCDenseNet:
     """Reference models.py:197-201."""
     return FCDenseNet(down_blocks=(5, 5, 5, 5, 5), up_blocks=(5, 5, 5, 5, 5),
                       bottleneck_layers=5, growth_rate=16, out_chans_first_conv=48,
                       n_classes=n_classes, dtype=dtype, remat=remat,
                       packed=packed, fused=fused, segmented=segmented,
-                      buffered=buffered)
+                      buffered=buffered, block_packed=block_packed, **flags)
 
 
 def FCDenseNet103(n_classes: int = 1, dtype=jnp.float32, remat: bool = False,
                   packed: bool = False, fused: bool = False,
-                  segmented: bool = False, buffered: bool = False) -> FCDenseNet:
+                  segmented: bool = False, buffered: bool = False,
+                  block_packed: bool = False, **flags) -> FCDenseNet:
     """Reference models.py:204-208."""
     return FCDenseNet(down_blocks=(4, 5, 7, 10, 12), up_blocks=(12, 10, 7, 5, 4),
                       bottleneck_layers=15, growth_rate=16, out_chans_first_conv=48,
                       n_classes=n_classes, dtype=dtype, remat=remat,
                       packed=packed, fused=fused, segmented=segmented,
-                      buffered=buffered)
+                      buffered=buffered, block_packed=block_packed, **flags)
 
 
 class UNetConvBlock(nn.Module):

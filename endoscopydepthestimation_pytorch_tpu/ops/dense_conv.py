@@ -172,19 +172,52 @@ def from_packed_out(out: jnp.ndarray, b: int, h: int, w: int, f: int
     return y.reshape(b, h, w, f)
 
 
+def from_packed_layout(xt: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ``to_packed_layout``: (B/8, 8d, H, G, 8b, C) -> (B, H, W, C)."""
+    b8, _, h, g, _, c = xt.shape
+    x = xt.transpose(0, 4, 2, 3, 1, 5)  # (B/8, 8b, H, G, 8d, C)
+    return x.reshape(b8 * DELTA, h, g * DELTA, c)
+
+
+def packed_out_to_input_layout(out: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Kernel output (B/8, H/R, R, G, 8b, 8F) -> input layout
+    (B/8, 8d, H, G, 8b, F), so a layer's output can be lane-concatenated
+    onto the packed activation and fed to the next layer's kernel without
+    leaving the packed world (ops/dense_block_packed.py)."""
+    b8, hr, r, g, d, _ = out.shape
+    y = out.reshape(b8, hr * r, g, d, DELTA, f)   # (B/8, H, G, 8b, 8d, F)
+    return y.transpose(0, 4, 1, 2, 3, 5)          # (B/8, 8d, H, G, 8b, F)
+
+
+def dense_conv_fwd_packed(xt: jnp.ndarray, scale: jnp.ndarray,
+                          shift: jnp.ndarray, wp: jnp.ndarray, f: int
+                          ) -> jnp.ndarray:
+    """The packed-layout kernel body: xt (B/8, 8d, H, G, 8b, C) ->
+    (B/8, H/R, R, G, 8b, 8F) raw kernel output (no layout transforms)."""
+    _, _, h, g, _, c = xt.shape
+    r = _pick_rows(h, g)
+    n_k = _ceil(c, CK)
+    cpad = n_k * CK
+    nf = DELTA * f
+    scale = jnp.pad(scale.astype(jnp.float32), (0, cpad - c)).reshape(1, cpad)
+    shift = jnp.pad(shift.astype(jnp.float32), (0, cpad - c)).reshape(1, cpad)
+    return _dense_conv_call(xt, scale, shift, wp, f, r, n_k)
+
+
 def dense_conv_fwd(x: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray,
                    wp: jnp.ndarray, f: int) -> jnp.ndarray:
     """conv3x3(relu(x*scale + shift), w) for Cout = f via the packed
     Pallas kernel. x: (B, H, W, C), B % 8 == 0, W % 8 == 0."""
     b, h, w, c = x.shape
-    g = w // DELTA
-    r = _pick_rows(h, g)
-    n_k = _ceil(c, CK)
-    cpad = n_k * CK
-    nf = DELTA * f
     xt = to_packed_layout(x)
-    scale = jnp.pad(scale.astype(jnp.float32), (0, cpad - c)).reshape(1, cpad)
-    shift = jnp.pad(shift.astype(jnp.float32), (0, cpad - c)).reshape(1, cpad)
+    out = dense_conv_fwd_packed(xt, scale, shift, wp, f)
+    return from_packed_out(out, b, h, w, f)
+
+
+def _dense_conv_call(xt, scale, shift, wp, f, r, n_k):
+    b8, _, h, g, _, c = xt.shape
+    b = b8 * DELTA
+    nf = DELTA * f
 
     out = pl.pallas_call(
         partial(_fwd_kernel, r=r, g=g, c=c, f=f),
@@ -212,17 +245,17 @@ def dense_conv_fwd(x: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray,
                                lambda i, j, k: (i, j, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b // DELTA, h // r, r, g, DELTA, nf),
-                                       x.dtype),
+                                       xt.dtype),
         scratch_shapes=[
-            pltpu.VMEM((DELTA, r + 2, g, DELTA, CK), x.dtype),
-            pltpu.VMEM((r + 2, g, DELTA, CK), x.dtype),
-            pltpu.VMEM((r + 2, g, DELTA, CK), x.dtype),
+            pltpu.VMEM((DELTA, r + 2, g, DELTA, CK), xt.dtype),
+            pltpu.VMEM((r + 2, g, DELTA, CK), xt.dtype),
+            pltpu.VMEM((r + 2, g, DELTA, CK), xt.dtype),
             pltpu.VMEM((r * g * DELTA, nf), jnp.float32),
         ],
         interpret=INTERPRET,
     )(xt, xt, xt, scale, shift, wp)
 
-    return from_packed_out(out, b, h, w, f)
+    return out
 
 
 def _act(x, scale, shift):

@@ -150,7 +150,10 @@ def warp_depth(depth_maps_1: jnp.ndarray, depth_maps_2: jnp.ndarray,
     # sample depth and mask in ONE call (2 channels): halves the one-hot
     # matrix construction on the TPU path
     stacked = jnp.concatenate([d1_in_2, img_masks], axis=-1)
-    sampled = grid_sample(stacked, u2f, v2f, align_corners=align_corners)
+    # the mask channel only feeds the hard >= 0.9 threshold below (zero
+    # cotangent), so the sampler may restrict its backward to channel 0
+    sampled = grid_sample(stacked, u2f, v2f, align_corners=align_corners,
+                          grad_first_only=True)
     warped = sampled[..., 0:1]
     sampled_mask = sampled[..., 1:2]
     intersect = (sampled_mask * img_masks >= 0.9).astype(depth_maps_1.dtype)

@@ -187,8 +187,16 @@ def backend_scope(name: str):
 
 
 def grid_sample(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
-                align_corners: bool = False) -> jnp.ndarray:
-    """Backend-dispatching bilinear sampler (see set_backend)."""
+                align_corners: bool = False,
+                grad_first_only: bool = False) -> jnp.ndarray:
+    """Backend-dispatching bilinear sampler (see set_backend).
+
+    ``grad_first_only=True`` declares that only image channel 0 needs a
+    gradient (the caller's other channels feed non-differentiable
+    consumers, e.g. warp_depth's hard mask threshold). The Pallas backend
+    then runs its backward single-channel with 2x larger row blocks; the
+    XLA backends ignore the hint (their autodiff drops the dead channels
+    anyway)."""
     backend = _BACKEND
     if backend == "auto":
         try:
@@ -207,5 +215,6 @@ def grid_sample(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
         return grid_sample_nhwc(image, x, y, align_corners=align_corners)
     if backend == "pallas":
         from .warp_pallas import grid_sample_pallas
-        return grid_sample_pallas(image, x, y, align_corners=align_corners)
+        return grid_sample_pallas(image, x, y, align_corners=align_corners,
+                                  grad_first_only=grad_first_only)
     return grid_sample_nhwc_mxu(image, x, y, align_corners=align_corners)

@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_ROWS = 8       # forward row block
-BWD_BLOCK_ROWS = 4   # backward keeps ~4x more VMEM live per query
+BWD_BLOCK_ROWS = 8   # backward row block at c=1; shrinks with channels
 # Backward matmul precision knob. Measured on v5e: bf16 operands do NOT
 # speed this kernel up (14.2 ms/step either way) — the cost is dominated
 # by the VPU construction of the one-hot interpolation matrices (~21k
@@ -40,26 +40,52 @@ BWD_DTYPE = jnp.float32
 INTERPRET = False  # flipped by tests on CPU
 
 
-def _onehots(coords, size, dtype=jnp.float32):
-    """coords (R, Wq) -> (m0, m1, weighted_mat) each (P, size), P = R*Wq."""
+def _bwd_rows(c: int) -> int:
+    """Backward block rows fitting the 16M scoped-VMEM budget: with the
+    tent/pair build only 4 interpolation mats are live, which fits 8 rows
+    for single-channel images (measured); the per-channel gx/xmat3
+    temporaries push multi-channel sampling (warp_depth stacks
+    depth+mask, c=2) back to smaller blocks."""
+    return max(2, BWD_BLOCK_ROWS // max(1, c))
+
+
+def _tent(coords, size):
+    """coords (R, Wq) -> (P, size) bilinear weight matrix, P = R*Wq:
+    mat[p, i] = max(0, 1 - |coord_p - i|). Bit-identical to the two-one-hot
+    construction (c - floor(c) is exact in f32) at roughly half the VPU
+    ops, and exact for zeros padding: out-of-range rows are all zero."""
+    r, wq = coords.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r, wq, size), 2
+                                    ).astype(jnp.float32)  # Mosaic: int iota only
+    mat = jnp.maximum(1.0 - jnp.abs(coords[:, :, None] - iota), 0.0)
+    return mat.reshape(r * wq, size)
+
+
+def _pair(coords, size, dtype=jnp.float32):
+    """coords (R, Wq) -> (mat, dmat) each (P, size): bilinear weights and
+    their derivative d(mat)/d(coord) = onehot(floor+1) - onehot(floor).
+    Two iota compares (a lane-roll of onehot(floor) cannot replace the
+    second: floor == -1 must still produce the floor+1 hit at lane 0, and
+    floor == size-1 the floor hit at lane size-1); mat is derived from
+    (h0, dmat, frac) instead of a third weighted build."""
     r, wq = coords.shape
     c0f = jnp.floor(coords)
-    frac = (coords - c0f)[:, :, None]            # (R, Wq, 1)
-    c0 = c0f.astype(jnp.int32)[:, :, None]       # (R, Wq, 1)
+    frac = (coords - c0f)[:, :, None].astype(dtype)  # (R, Wq, 1)
+    c0 = c0f.astype(jnp.int32)[:, :, None]           # (R, Wq, 1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (r, wq, size), 2)
     h0 = (c0 == iota).astype(dtype)
     h1 = (c0 + 1 == iota).astype(dtype)
-    mat = h0 * (1.0 - frac).astype(dtype) + h1 * frac.astype(dtype)
-    return (h0.reshape(r * wq, size), h1.reshape(r * wq, size),
-            mat.reshape(r * wq, size))
+    dmat = h1 - h0
+    mat = h0 + dmat * frac
+    return mat.reshape(r * wq, size), dmat.reshape(r * wq, size)
 
 
 def _fwd_kernel(img_ref, px_ref, py_ref, out_ref, *, h, w, c):
     px = px_ref[0, 0]                            # (R, Wq)
     py = py_ref[0, 0]
     r, wq = px.shape
-    _, _, ymat = _onehots(py, h)                 # (P, H)
-    _, _, xmat = _onehots(px, w)                 # (P, W)
+    ymat = _tent(py, h)                          # (P, H)
+    xmat = _tent(px, w)                          # (P, W)
     for ci in range(c):
         rows = jnp.dot(ymat, img_ref[0, ci], preferred_element_type=jnp.float32)
         out = jnp.sum(rows * xmat, axis=1, keepdims=True)   # (P, 1)
@@ -79,10 +105,8 @@ def _bwd_kernel(img_ref, px_ref, py_ref, g_ref, dimg_ref, dpx_ref, dpy_ref,
     r, wq = px.shape
     p = r * wq
     dt = BWD_DTYPE
-    y0h, y1h, ymat = _onehots(py, h, dt)
-    x0h, x1h, xmat = _onehots(px, w, dt)
-    dymat = y1h - y0h      # exact in bf16 (entries are -1/0/1)
-    dxmat = x1h - x0h
+    ymat, dymat = _pair(py, h, dt)
+    xmat, dxmat = _pair(px, w, dt)
     xmat3 = xmat.reshape(r, wq, w)
 
     dpx = jnp.zeros((r, wq), jnp.float32)
@@ -162,14 +186,19 @@ def _vjp_fwd(image, px, py):
 
 def _vjp_bwd(residuals, g):
     image, px, py = residuals
+    return _bwd_impl(image, px, py, g)
+
+
+def _bwd_impl(image, px, py, g):
     b, h, w, c = image.shape
     bq, hq, wq = px.shape
-    pxb, pyb, n_blocks, pad = _blocked_coords(px, py, wq, BWD_BLOCK_ROWS)
+    rows = _bwd_rows(c)
+    pxb, pyb, n_blocks, pad = _blocked_coords(px, py, wq, rows)
     img_chw = image.transpose(0, 3, 1, 2).astype(jnp.float32)
     gpad = g.astype(jnp.float32)
     if pad:
         gpad = jnp.pad(gpad, ((0, 0), (0, pad), (0, 0), (0, 0)))
-    gb = gpad.reshape(b, n_blocks, BWD_BLOCK_ROWS, wq, c).transpose(0, 1, 4, 2, 3)
+    gb = gpad.reshape(b, n_blocks, rows, wq, c).transpose(0, 1, 4, 2, 3)
 
     dimg, dpx, dpy = pl.pallas_call(
         partial(_bwd_kernel, h=h, w=w, c=c),
@@ -177,26 +206,26 @@ def _vjp_bwd(residuals, g):
         in_specs=[
             pl.BlockSpec((1, c, h, w), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BWD_BLOCK_ROWS, wq), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, rows, wq), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BWD_BLOCK_ROWS, wq), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, rows, wq), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, BWD_BLOCK_ROWS, wq),
+            pl.BlockSpec((1, 1, c, rows, wq),
                          lambda i, j: (i, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, c, h, w), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BWD_BLOCK_ROWS, wq), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, rows, wq), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BWD_BLOCK_ROWS, wq), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, rows, wq), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_blocks, BWD_BLOCK_ROWS, wq), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_blocks, BWD_BLOCK_ROWS, wq), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_blocks, rows, wq), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_blocks, rows, wq), jnp.float32),
         ],
         interpret=INTERPRET,
     )(img_chw, pxb, pyb, gb)
@@ -210,10 +239,41 @@ def _vjp_bwd(residuals, g):
 sample_bilinear_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def grid_sample_pallas(image, x, y, align_corners: bool = False):
+@jax.custom_vjp
+def sample_bilinear_pallas_grad_first(image, px, py):
+    """Like ``sample_bilinear_pallas``, but image gradients flow ONLY
+    through channel 0 — the other channels' cotangents are TREATED AS
+    ZERO. For samplers whose extra channels feed non-differentiable
+    consumers only (warp_depth's stacked mask -> hard >= 0.9 threshold,
+    ops/geometry.py): one forward call amortizes the interpolation-matrix
+    construction over all channels, while the backward stays
+    single-channel and fits 8-row VMEM blocks (2x fewer grid steps)."""
+    return _sample_fwd_impl(image, px, py)
+
+
+def _vjp1_fwd(image, px, py):
+    # residual keeps only channel 0 of the image (the rest never
+    # contributes a gradient) plus the full channel count for re-padding
+    return _sample_fwd_impl(image, px, py), (image[..., :1], px, py,
+                                             image.shape[-1])
+
+
+def _vjp1_bwd(residuals, g):
+    img0, px, py, c = residuals
+    dimg0, dpx, dpy = _bwd_impl(img0, px, py, g[..., :1])
+    dimg = jnp.pad(dimg0, ((0, 0), (0, 0), (0, 0), (0, c - 1)))
+    return dimg, dpx, dpy
+
+
+sample_bilinear_pallas_grad_first.defvjp(_vjp1_fwd, _vjp1_bwd)
+
+
+def grid_sample_pallas(image, x, y, align_corners: bool = False,
+                       grad_first_only: bool = False):
     """grid_sample-compatible wrapper (reference normalization
     2*(coord/size)-1 -> pixel-space half-pixel shift, zeros padding) over
-    the Pallas sampler."""
+    the Pallas sampler. ``grad_first_only`` selects the channel-0-gradient
+    variant (see sample_bilinear_pallas_grad_first)."""
     b, h, w, c = image.shape
     if align_corners:
         px = x * (w - 1) / w
@@ -223,4 +283,6 @@ def grid_sample_pallas(image, x, y, align_corners: bool = False):
         py = y - 0.5
     px = jnp.clip(px, -2.0, w + 1.0)
     py = jnp.clip(py, -2.0, h + 1.0)
+    if grad_first_only and c > 1:
+        return sample_bilinear_pallas_grad_first(image, px, py)
     return sample_bilinear_pallas(image, px, py)

@@ -1,0 +1,62 @@
+"""A/B the canonical train step across model flags on the attached TPU.
+
+Usage: python scripts/ab_step.py [--hw H W] [--batch N] [--remat] [flag ...]
+Always times the default first, then each named flag variant.
+"""
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, "/root/repo")
+import bench as B  # noqa: E402
+from endoscopydepthestimation_pytorch_tpu import training  # noqa: E402
+from endoscopydepthestimation_pytorch_tpu.models import FCDenseNet57  # noqa: E402
+
+
+def time_step(flags, batch, dclw, steps=10, hw=(256, 320), remat=False):
+    model = FCDenseNet57(n_classes=1, dtype=jnp.bfloat16, remat=remat, **flags)
+    config = training.TrainConfig(lr_step_size=1000)
+    state = training.create_train_state(model, jax.random.PRNGKey(0),
+                                        (1,) + tuple(hw) + (3,), config)
+    step_fn = training.make_jit_train_step(config)
+    for _ in range(3):
+        state, m = step_fn(state, batch, dclw)
+    float(m["loss"])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, m = step_fn(state, batch, dclw)
+        float(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best * 1e3, float(m["loss"])
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hw", type=int, nargs=2, default=(256, 320))
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("flags", nargs="*", default=[])
+    args = ap.parse_args()
+    bsz, hw = args.batch, tuple(args.hw)
+    batch = {k: jax.device_put(jnp.asarray(v))
+             for k, v in B.synthetic_batch(bsz, *hw).items()}
+    dclw = jax.device_put(jnp.asarray(5.0, jnp.float32))
+    ms, loss = time_step({}, batch, dclw, hw=hw, remat=args.remat)
+    sps = bsz / ms * 1e3
+    print(f"default        {ms:7.1f} ms/step  {sps:6.1f} samples/s  loss {loss:.5f}")
+    for f in args.flags:
+        ms, loss = time_step({f: True}, batch, dclw, hw=hw, remat=args.remat)
+        sps = bsz / ms * 1e3
+        print(f"{f:14s} {ms:7.1f} ms/step  {sps:6.1f} samples/s  loss {loss:.5f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Trace the canonical train step on the attached TPU and print a per-op-
+class device-time breakdown (the table PERF.md's round-2 sections cite).
+
+Usage: python scripts/profile_step.py [--steps 5] [--fused|--segmented|
+--buffered] [--batch 8] [--hw 256 320]
+
+Aggregates the xprof "framework_op_stats" for the traced region and prints
+ms/step per op class (conv, concatenate, add_any, reduce, pallas, ...).
+"""
+import argparse
+import glob
+import json
+import shutil
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--hw", type=int, nargs=2, default=(256, 320))
+    ap.add_argument("--fused", action="store_true")
+    ap.add_argument("--segmented", action="store_true")
+    ap.add_argument("--buffered", action="store_true")
+    ap.add_argument("--block_packed", action="store_true")
+    ap.add_argument("--trace_dir", default="/tmp/jtrace_step")
+    args = ap.parse_args()
+
+    import bench as B
+    from endoscopydepthestimation_pytorch_tpu import training
+    from endoscopydepthestimation_pytorch_tpu.models import FCDenseNet57
+
+    model = FCDenseNet57(n_classes=1, dtype=jnp.bfloat16, fused=args.fused,
+                         segmented=args.segmented, buffered=args.buffered,
+                         block_packed=args.block_packed)
+    config = training.TrainConfig(lr_step_size=1000)
+    state = training.create_train_state(
+        model, jax.random.PRNGKey(0), (1,) + tuple(args.hw) + (3,), config)
+    batch = {k: jax.device_put(jnp.asarray(v))
+             for k, v in B.synthetic_batch(args.batch, *args.hw).items()}
+    dclw = jax.device_put(jnp.asarray(5.0, jnp.float32))
+    step_fn = training.make_jit_train_step(config)
+
+    for _ in range(3):
+        state, m = step_fn(state, batch, dclw)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, m = step_fn(state, batch, dclw)
+    float(m["loss"])
+    wall = (time.perf_counter() - t0) / args.steps
+
+    shutil.rmtree(args.trace_dir, ignore_errors=True)
+    with jax.profiler.trace(args.trace_dir):
+        for _ in range(args.steps):
+            state, m = step_fn(state, batch, dclw)
+        float(m["loss"])
+
+    from xprof.convert import raw_to_tool_data as rtd
+    files = glob.glob(f"{args.trace_dir}/plugins/profile/*/*.xplane.pb")
+    data, _ = rtd.xspace_to_tool_data(files, "framework_op_stats", {})
+    tbl = json.loads(data.decode() if isinstance(data, bytes) else data)
+    tbl = tbl[0] if isinstance(tbl, list) else tbl
+    cols = [c["id"] for c in tbl["cols"]]
+    i_type, i_self = cols.index("type"), cols.index("total_self_time")
+    i_occ = cols.index("occurrences")
+    i_host = cols.index("host_or_device")
+    agg = {}
+    for row in tbl["rows"]:
+        c = row["c"]
+        if c[i_host]["v"] != "Device":
+            continue
+        typ = c[i_type]["v"]
+        agg.setdefault(typ, [0.0, 0])
+        agg[typ][0] += float(c[i_self]["v"])
+        agg[typ][1] += int(c[i_occ]["v"])
+    total = sum(v[0] for v in agg.values())
+    print(f"wall {wall*1e3:.1f} ms/step; device total "
+          f"{total/1e3/args.steps:.1f} ms/step")
+    for typ, (us, occ) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:18]:
+        print(f"{typ:40s} {us/1e3/args.steps:8.2f} ms/step  x{occ}")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,15 @@ import numpy as np
 import pytest
 
 from endoscopydepthestimation_pytorch_tpu.models.fcdensenet import DenseBlock
+from endoscopydepthestimation_pytorch_tpu.ops import dense_conv
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    old = dense_conv.INTERPRET
+    dense_conv.INTERPRET = True
+    yield
+    dense_conv.INTERPRET = old
 
 
 def _flat(out):
@@ -35,10 +44,12 @@ def _run(mode_kwargs, variables, x):
     return val, grads, updates
 
 
-@pytest.mark.parametrize("mode", [{"segmented": True}, {"buffered": True}])
+@pytest.mark.parametrize("mode", [{"segmented": True}, {"buffered": True},
+                                  {"block_packed": True}])
 def test_dense_block_modes_match_materialized(mode):
+    # b % 8 == 0 and w % 8 == 0 so block_packed engages its Pallas path
     key = jax.random.PRNGKey(0)
-    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 6), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 16, 6), jnp.float32)
     ref_blk = DenseBlock(growth_rate=4, n_layers=3, upsample=True)
     variables = jax.jit(ref_blk.init, static_argnums=2)(key, x, True)
 

@@ -1,5 +1,7 @@
 """Pallas fused bilinear sampler vs the XLA gather path (interpret mode on
 CPU): forward values, all three gradients, zeros padding."""
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,6 +72,28 @@ def test_pallas_gradients_bf16_mode_tolerance(monkeypatch):
     for a, b in zip(gp, gg):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_grad_first_variant_matches_when_tail_cotangent_zero():
+    """sample_bilinear_pallas_grad_first: identical forward; gradients
+    equal the full VJP whenever the non-first channels' cotangents are
+    zero (the warp_depth mask-threshold pattern, geometry.py)."""
+    image, x, y = _case(seed=5, b=1, h=12, w=16, hq=12, wq=16)  # c=2
+
+    def loss(sample_fn, im, xx, yy):
+        out = sample_fn(im, xx, yy)
+        # channel 1 feeds a non-differentiable consumer only
+        return (jnp.sum(jnp.sin(out[..., :1]))
+                + jnp.sum((out[..., 1:] > 0.5).astype(jnp.float32)))
+
+    px, py = x - 0.5, y - 0.5
+    g_full = jax.grad(partial(loss, warp_pallas.sample_bilinear_pallas),
+                      argnums=(0, 1, 2))(image, px, py)
+    g_one = jax.grad(partial(loss, warp_pallas.sample_bilinear_pallas_grad_first),
+                     argnums=(0, 1, 2))(image, px, py)
+    for a, b in zip(g_one, g_full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_pallas_zeros_padding():
