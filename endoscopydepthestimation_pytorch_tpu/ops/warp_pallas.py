@@ -40,13 +40,28 @@ BWD_DTYPE = jnp.float32
 INTERPRET = False  # flipped by tests on CPU
 
 
-def _bwd_rows(c: int) -> int:
-    """Backward block rows fitting the 16M scoped-VMEM budget: with the
-    tent/pair build only 4 interpolation mats are live, which fits 8 rows
-    for single-channel images (measured); the per-channel gx/xmat3
-    temporaries push multi-channel sampling (warp_depth stacks
-    depth+mask, c=2) back to smaller blocks."""
-    return max(2, BWD_BLOCK_ROWS // max(1, c))
+def _fwd_rows(h: int, w: int, wq: int, c: int) -> int:
+    """Forward block rows fitting the 16M scoped-VMEM budget: the live
+    set is the two (P, h)/(P, w) tent matrices plus the resident image
+    and output. Calibrated against measured limits (8 rows OK at
+    256x320/c=2; 8 rows OOMs at 512x640)."""
+    r = BLOCK_ROWS
+    while r > 1 and r * wq * (h + w) * 4 + c * h * w * 8 > 13 * 2 ** 20:
+        r //= 2
+    return r
+
+
+def _bwd_rows(h: int, w: int, wq: int, c: int) -> int:
+    """Backward block rows under the same budget: 4 interpolation mats
+    (~P*(2h+3w)*4 bytes incl. gx/xmat3 temporaries) plus the resident
+    image + dimg (8*c*h*w bytes). The 16M cap is calibrated against
+    measured limits: 8 rows OK at 256x320 c=1 (15.7M), OOM at c=2
+    (26.5M); 2 rows OOM at 512x640 c=1 (19.1M)."""
+    p_max = max(wq, (16_000_000 - 8 * c * h * w) // ((2 * h + 3 * w) * 4))
+    r = BWD_BLOCK_ROWS
+    while r > 1 and r * wq > p_max:
+        r //= 2
+    return r
 
 
 def _tent(coords, size):
@@ -147,7 +162,8 @@ def _blocked_coords(px, py, wq, block_rows):
 def _sample_fwd_impl(image, px, py):
     b, h, w, c = image.shape
     bq, hq, wq = px.shape
-    pxb, pyb, n_blocks, pad = _blocked_coords(px, py, wq, BLOCK_ROWS)
+    rows = _fwd_rows(h, w, wq, c)
+    pxb, pyb, n_blocks, pad = _blocked_coords(px, py, wq, rows)
     img_chw = image.transpose(0, 3, 1, 2).astype(jnp.float32)  # (B, C, H, W)
 
     out = pl.pallas_call(
@@ -156,15 +172,15 @@ def _sample_fwd_impl(image, px, py):
         in_specs=[
             pl.BlockSpec((1, c, h, w), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLOCK_ROWS, wq), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, rows, wq), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BLOCK_ROWS, wq), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, rows, wq), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, c, BLOCK_ROWS, wq),
+        out_specs=pl.BlockSpec((1, 1, c, rows, wq),
                                lambda i, j: (i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_blocks, c, BLOCK_ROWS, wq),
+        out_shape=jax.ShapeDtypeStruct((b, n_blocks, c, rows, wq),
                                        jnp.float32),
         interpret=INTERPRET,
     )(img_chw, pxb, pyb)
@@ -192,7 +208,7 @@ def _vjp_bwd(residuals, g):
 def _bwd_impl(image, px, py, g):
     b, h, w, c = image.shape
     bq, hq, wq = px.shape
-    rows = _bwd_rows(c)
+    rows = _bwd_rows(h, w, wq, c)
     pxb, pyb, n_blocks, pad = _blocked_coords(px, py, wq, rows)
     img_chw = image.transpose(0, 3, 1, 2).astype(jnp.float32)
     gpad = g.astype(jnp.float32)
