@@ -144,7 +144,7 @@ def _fwd_kernel(top_ref, mid_ref, bot_ref, scale_ref, shift_ref, wp_ref,
 
 def _pick_rows(h: int, g: int) -> int:
     """Row-block size: M = R*G*8 around 1280-2560 within VMEM budget."""
-    target = max(1, 128 // g)  # larger blocks exceed the VMEM budget
+    target = max(1, 128 // g)  # larger blocks exceed the VMEM budget (2x rows at g=20 OOMs: pipelining double-buffers the in/out blocks)
     r = 1
     for cand in range(1, h + 1):
         if h % cand == 0 and cand <= target:
