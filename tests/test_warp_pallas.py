@@ -101,24 +101,3 @@ def test_pallas_zeros_padding():
     far = jnp.full((1, 8, 8), 50.0)
     out = warp_pallas.grid_sample_pallas(image, far, far)
     np.testing.assert_allclose(np.asarray(out), 0.0)
-
-
-def test_conv_pallas_prototype_matches_xla():
-    """The experimental packed-conv kernel (interpret mode) is exact."""
-    from endoscopydepthestimation_pytorch_tpu.ops import conv_pallas
-    old = conv_pallas.INTERPRET
-    conv_pallas.INTERPRET = True
-    try:
-        rng = np.random.RandomState(0)
-        x = jnp.asarray(rng.randn(2, 32, 32, 5).astype(np.float32))
-        w = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
-        wp = conv_pallas.pack_tap_weights(w)
-        bias = jnp.asarray(rng.randn(7).astype(np.float32))
-        ours = conv_pallas.conv3x3_small_cout(x, wp, bias)
-        golden = jax.lax.conv_general_dilated(
-            x, w, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
-        np.testing.assert_allclose(np.asarray(ours), np.asarray(golden),
-                                   rtol=1e-4, atol=1e-5)
-    finally:
-        conv_pallas.INTERPRET = old
