@@ -70,3 +70,20 @@ def test_dense_block_modes_match_materialized(mode):
         np.testing.assert_allclose(
             np.asarray(stats1[jax.tree_util.keystr(k)]), np.asarray(a),
             rtol=1e-5, atol=1e-5, err_msg=f"batch_stats mismatch at {k}")
+
+
+def test_block_packed_falls_back_on_shard_sized_batches():
+    """block_packed requires B % 8 == 0 and W % 8 == 0 (packed layout);
+    shard_map hands each device a tiny per-shard batch, so the gate must
+    silently fall back to the materialized path with identical results."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 16, 6), jnp.float32)
+    ref = DenseBlock(growth_rate=4, n_layers=3, upsample=True)
+    variables = jax.jit(ref.init, static_argnums=2)(key, x, True)
+    v0, g0, _ = _run({}, variables, x)
+    v1, g1, _ = _run({"block_packed": True}, variables, x)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6)
