@@ -33,13 +33,19 @@ class DepthPredictor:
 
     def __init__(self, checkpoint_path, sequence: preprocess.SequenceData,
                  batch_size: int = 1, downsampling: float = 4.0,
-                 dtype=jnp.bfloat16, packed: bool = True):
+                 dtype=jnp.bfloat16, packed=None):
         self.sequence = sequence
         self.batch_size = batch_size
         self.downsampling = downsampling
         sh, eh, sw, ew = sequence.crop_positions
         self.height, self.width = eh - sh, ew - sw
 
+        if packed is None:
+            # measured on v5e: shifted-weight packing wins at 256x320
+            # (181 vs 127 fps) but loses at 512x640 (44.7 vs 48.9 fps) —
+            # the strided-conv layout transforms outgrow the MXU-lane
+            # gain with pixel count (PERF.md round 2)
+            packed = self.height * self.width <= 160_000
         model = FCDenseNet57(n_classes=1, dtype=dtype, packed=packed)
         config = training.TrainConfig(compute_dtype=dtype)
         state = training.create_train_state(

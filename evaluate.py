@@ -65,16 +65,19 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--rgb_mode", type=str, default="rgb")
     p.add_argument("--packed_conv", action=argparse.BooleanOptionalAction,
-                   default=True, help="MXU shifted-weight conv packing "
-                   "(exact; forward-only speedup)")
+                   default=None, help="MXU shifted-weight conv packing "
+                   "(exact; forward-only speedup at <=256x320-scale "
+                   "inputs; default picks by resolution, PERF.md)")
     return p
 
 
 def _make_state(args, height, width):
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
-    # packed: evaluation is forward-only, where MXU shifted-weight packing
-    # is a pure win (no strided-conv backward to pay for)
-    model = FCDenseNet57(n_classes=1, dtype=dtype, packed=args.packed_conv)
+    # packed: forward-only speedup at canonical resolutions; at 4x the
+    # pixels the layout transforms outweigh the MXU-lane gain (PERF.md)
+    packed = (height * width <= 160_000 if args.packed_conv is None
+              else args.packed_conv)
+    model = FCDenseNet57(n_classes=1, dtype=dtype, packed=packed)
     config = training.TrainConfig(compute_dtype=dtype)
     state = training.create_train_state(model, jax.random.PRNGKey(10085),
                                         (1, height, width, 3), config)
