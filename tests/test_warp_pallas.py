@@ -101,3 +101,14 @@ def test_pallas_zeros_padding():
     far = jnp.full((1, 8, 8), 50.0)
     out = warp_pallas.grid_sample_pallas(image, far, far)
     np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_block_row_calibration():
+    """Regression-lock the VMEM-calibrated block sizes (PERF.md round 2):
+    measured pass/OOM boundaries on v5e — changing these silently would
+    either OOM the compile or slow the kernel."""
+    assert warp_pallas._fwd_rows(256, 320, 320, 2) == 8
+    assert warp_pallas._fwd_rows(512, 640, 640, 2) == 2
+    assert warp_pallas._bwd_rows(256, 320, 320, 1) == 8   # fits (15.7M)
+    assert warp_pallas._bwd_rows(256, 320, 320, 2) == 4   # r=8 OOMs (26.5M)
+    assert warp_pallas._bwd_rows(512, 640, 640, 1) == 1   # r=2 OOMs (19.1M)
