@@ -81,7 +81,8 @@ def create_train_state(model, rng, input_shape: Tuple[int, ...],
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
-        batch_stats=variables["batch_stats"],
+        # models without normalization layers (UNet) have no batch_stats
+        batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(variables["params"]),
         apply_fn=model.apply,
         tx=tx)
@@ -102,7 +103,7 @@ def _forward_pair(apply_fn, params, batch_stats, batch, train: bool):
     if train:
         depths, mutated = apply_fn(variables, colors, train=True,
                                    mutable=["batch_stats"])
-        new_stats = mutated["batch_stats"]
+        new_stats = mutated.get("batch_stats", {})
     else:
         depths = apply_fn(variables, colors, train=False)
         new_stats = batch_stats

@@ -38,8 +38,17 @@ from endoscopydepthestimation_pytorch_tpu.utils import checkpoint as ckpt
 from endoscopydepthestimation_pytorch_tpu.utils import visualization as viz
 from endoscopydepthestimation_pytorch_tpu.utils.profiling import StepTimer, device_trace
 
+def _unet(n_classes=1, dtype=None, remat=False, fused=False, **flags):
+    """UNet family entry (reference models.py:211-264 defines it; its
+    drivers never instantiate it). The FCDenseNet-specific remat/fused/
+    packed flags do not apply."""
+    del remat, fused, flags
+    from endoscopydepthestimation_pytorch_tpu.models import UNet
+    return UNet(out_channels=n_classes, dtype=dtype)
+
+
 MODELS = {"fcdensenet57": FCDenseNet57, "fcdensenet67": FCDenseNet67,
-          "fcdensenet103": FCDenseNet103}
+          "fcdensenet103": FCDenseNet103, "unet": _unet}
 
 
 def build_parser() -> argparse.ArgumentParser:
