@@ -146,3 +146,21 @@ def test_eval_step_batch_stats_mode(setup):
     b = float(ev_bat(state, batch, jnp.asarray(5.0))["loss"])
     assert np.isfinite(a) and np.isfinite(b)
     assert a != b
+
+
+def test_train_step_without_batch_stats_collection():
+    """Models with no normalization layers (UNet, reference
+    models.py:211-264) have no batch_stats collection; the train step
+    must run and update parameters regardless (train.py exposes
+    --architecture unet)."""
+    from endoscopydepthestimation_pytorch_tpu.models import UNet
+    config = training.TrainConfig(lr_step_size=50)
+    model = UNet(out_channels=1, depth=3, wf=3)
+    state = training.create_train_state(model, jax.random.PRNGKey(0),
+                                        (1, H, W, 3), config)
+    assert state.batch_stats == {}
+    batch = {k: jnp.asarray(v) for k, v in _synthetic_batch().items()}
+    step = training.make_jit_train_step(config)
+    new_state, metrics = step(state, batch, jnp.asarray(0.1, jnp.float32))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
