@@ -229,8 +229,13 @@ class BatchLoader:
         self.shuffle = shuffle
         # more worker threads than cores THRASH (measured: 4 workers on a
         # 1-core host produce batches 5x slower than 1 worker — GIL +
-        # context-switch churn on the numpy-heavy parts)
-        self.num_workers = max(1, min(num_workers, os.cpu_count() or num_workers))
+        # context-switch churn on the numpy-heavy parts); sched_getaffinity
+        # reflects the cgroup/container CPU quota, cpu_count() does not
+        try:
+            n_cores = len(os.sched_getaffinity(0))
+        except (AttributeError, OSError):
+            n_cores = os.cpu_count() or num_workers
+        self.num_workers = max(1, min(num_workers, n_cores))
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch

@@ -293,7 +293,8 @@ class DenseBlock(nn.Module):
     """Iterative concat of dense layers. With ``upsample=True`` only the new
     features are returned (reference models.py:31-53).
 
-    ``segmented=True`` (the default) keeps the growing concat as a LIST of
+    ``segmented=True`` (off by default; measured slower end-to-end, kept
+    for A/B — PERF.md) keeps the growing concat as a LIST of
     segments threaded through the layers: the per-layer channel
     concatenates — pure HBM traffic at the measured 168 GB/s concat rate —
     are never materialized, and per-segment BN statistics are computed
@@ -457,8 +458,9 @@ class TransitionDown(nn.Module):
     def __call__(self, x, train: bool, stats=None):
         if isinstance(x, (list, tuple)):
             c = sum(s.shape[-1] for s in x)
-            mu = jnp.concatenate([segment_stats(s)[0] for s in x])
-            mean2 = jnp.concatenate([segment_stats(s)[1] for s in x])
+            stats_list = [segment_stats(s) for s in x]
+            mu = jnp.concatenate([s[0] for s in stats_list])
+            mean2 = jnp.concatenate([s[1] for s in stats_list])
             fold = BNFold(axis_name=self.axis_name, name="norm")(
                 c, train, stats=(mu, mean2))
             y = Conv1x1(c, dtype=self.dtype, name="conv")(list(x), pre=fold)

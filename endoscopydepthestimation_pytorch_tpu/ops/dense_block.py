@@ -134,8 +134,14 @@ def _block_bwd(dims, res, cot):
     if axis_name is not None:
         n = n * lax.axis_size(axis_name)
 
-    # cotangent of the statistics outputs (zero in training — they only
-    # feed running-average updates — but kept exact; XLA folds the zeros)
+    # cotangent of the statistics outputs: under shard_map the vma
+    # machinery delivers gmu/gm2 as the FULL logical cotangent, replicated
+    # across shards (measured: identical per shard, and gmu/n with the
+    # global n reproduces the single-device gradient — see
+    # test_sharding.py::test_buffered_block_stats_grad_under_shardmap), so
+    # no extra collective belongs here. (The cotangent is zero in plain
+    # training — stats only feed running-average updates — but TransitionDown
+    # consumes them via with_stats; XLA folds the zeros otherwise.)
     dbuf = (gbuf.astype(jnp.float32) + gmu[None, None, None, :] / n
             + 2.0 * buf.astype(jnp.float32) * gm2[None, None, None, :] / n
             ).astype(dt)
@@ -161,10 +167,24 @@ def _block_bwd(dims, res, cot):
             mean_dx = lax.pmean(mean_dx, axis_name)
         du = (gpad * inv) * (dout - mean_dout - xhat * mean_dx)
         dbuf = dbuf + du.astype(dt)
-        dgammas.append(jnp.sum(dout * xhat, axis=(0, 1, 2))[:cj])
-        dbetas.append(jnp.sum(dout, axis=(0, 1, 2))[:cj])
+        dgamma = jnp.sum(dout * xhat, axis=(0, 1, 2))[:cj]
+        dbeta = jnp.sum(dout, axis=(0, 1, 2))[:cj]
+        dbias = jnp.sum(gy.astype(jnp.float32), axis=(0, 1, 2))
+        if axis_name is not None:
+            # parameter cotangents must be vma-consistent GLOBAL values:
+            # dwp already arrives psum'd (kpad is shard-invariant, so
+            # linear_transpose's vma handling inserts the collective); the
+            # manually-reduced vectors are per-shard partials — psum them
+            # so every parameter gradient leaves this rule replicated,
+            # matching the invariant primal inputs (ADVICE r2; guarded by
+            # test_sharding.py::test_buffered_block_stats_grad_under_shardmap)
+            dgamma = lax.psum(dgamma, axis_name)
+            dbeta = lax.psum(dbeta, axis_name)
+            dbias = lax.psum(dbias, axis_name)
+        dgammas.append(dgamma)
+        dbetas.append(dbeta)
         dkernels.append(dwp[:, :, :cj, :].astype(jnp.float32))
-        dbiases.append(jnp.sum(gy.astype(jnp.float32), axis=(0, 1, 2)))
+        dbiases.append(dbias)
     dx = lax.slice_in_dim(dbuf, 0, c0, axis=3)
     return (dx, tuple(reversed(dgammas)), tuple(reversed(dbetas)),
             tuple(reversed(dkernels)), tuple(reversed(dbiases)))

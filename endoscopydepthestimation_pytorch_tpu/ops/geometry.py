@@ -160,20 +160,18 @@ def warp_depth(depth_maps_1: jnp.ndarray, depth_maps_2: jnp.ndarray,
     return warped, intersect
 
 
-def scale_recovery(predicted_depths: jnp.ndarray, sparse_depths: jnp.ndarray,
-                   weighted_sparse_masks: jnp.ndarray,
-                   epsilon: float = 1.0e-8) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-sample global scale from sparse SfM depths.
+def scale_recovery_per_sample(predicted_depths: jnp.ndarray,
+                              sparse_depths: jnp.ndarray,
+                              weighted_sparse_masks: jnp.ndarray,
+                              epsilon: float = 1.0e-8
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-sample scale recovery returning the raw (B,) diagnostics.
 
     Keep sparse depths > 0.5 * their masked mean; the scale is the mean
-    ratio sparse/predicted over the kept pixels. Also returns the
-    stability diagnostic mean(std_i) * mean(1/scale_j): the reference
-    divides a (B,) std vector by a (B,1,1,1) mean tensor, broadcasting to
-    (B,1,1,B) before the mean (models.py:361-363) — i.e. a CROSS-batch
-    normalization, reproduced exactly (golden-tested against the imported
-    reference layer; it is a logged diagnostic, not part of the loss).
-
-    Parity: reference models.py:339-363 (DepthScalingLayer), NHWC.
+    ratio sparse/predicted over the kept pixels. Returns
+    (scaled_depths, scale_stds (B,), scales (B,)) so callers can form the
+    reference's cross-batch diagnostic over any sub-batch (e.g. per frame
+    of a stacked pair). Reference models.py:339-363 (DepthScalingLayer).
     """
     axes = (1, 2, 3)
     binary = (weighted_sparse_masks > 1.0e-8).astype(predicted_depths.dtype)
@@ -187,8 +185,27 @@ def scale_recovery(predicted_depths: jnp.ndarray, sparse_depths: jnp.ndarray,
     centered = scale_maps - above * mean_scales
     scale_stds = jnp.sqrt(jnp.sum(centered * centered, axes) / n_above[:, 0, 0, 0])
     scales = mean_scales[:, 0, 0, 0]
-    normalized_std = jnp.mean(scale_stds) * jnp.mean(1.0 / scales)
-    return mean_scales * predicted_depths, normalized_std
+    return mean_scales * predicted_depths, scale_stds, scales
+
+
+def normalized_scale_std(scale_stds: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """The reference's stability diagnostic mean(std_i) * mean(1/scale_j):
+    it divides a (B,) std vector by a (B,1,1,1) mean tensor, broadcasting
+    to (B,1,1,B) before the mean (models.py:361-363) — a CROSS-batch
+    normalization, reproduced exactly (golden-tested; it is a logged
+    diagnostic, not part of the loss)."""
+    return jnp.mean(scale_stds) * jnp.mean(1.0 / scales)
+
+
+def scale_recovery(predicted_depths: jnp.ndarray, sparse_depths: jnp.ndarray,
+                   weighted_sparse_masks: jnp.ndarray,
+                   epsilon: float = 1.0e-8) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-sample global scale from sparse SfM depths, plus the batch-level
+    normalized-std diagnostic. Parity: reference models.py:339-363
+    (DepthScalingLayer), NHWC."""
+    scaled, scale_stds, scales = scale_recovery_per_sample(
+        predicted_depths, sparse_depths, weighted_sparse_masks, epsilon)
+    return scaled, normalized_scale_std(scale_stds, scales)
 
 
 def images_warping(images: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,

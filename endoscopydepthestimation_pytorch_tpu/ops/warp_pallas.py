@@ -159,6 +159,15 @@ def _blocked_coords(px, py, wq, block_rows):
             py.reshape(b, n_blocks, block_rows, wq), n_blocks, pad)
 
 
+def _out_struct(shape, dtype, *operands):
+    """ShapeDtypeStruct carrying the union of the operands' varying-axes
+    set: under a vma-checked shard_map (jax >= 0.9) pallas_call requires
+    out_shape.vma, and the sampler's outputs vary exactly like its inputs
+    (pure per-shard compute, no collectives)."""
+    vma = frozenset().union(*(jax.typeof(a).vma for a in operands))
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 def _sample_fwd_impl(image, px, py):
     b, h, w, c = image.shape
     bq, hq, wq = px.shape
@@ -180,8 +189,8 @@ def _sample_fwd_impl(image, px, py):
         out_specs=pl.BlockSpec((1, 1, c, rows, wq),
                                lambda i, j: (i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_blocks, c, rows, wq),
-                                       jnp.float32),
+        out_shape=_out_struct((b, n_blocks, c, rows, wq), jnp.float32,
+                              image, px, py),
         interpret=INTERPRET,
     )(img_chw, pxb, pyb)
     out = out.transpose(0, 1, 3, 4, 2).reshape(b, hq + pad, wq, c)
@@ -239,9 +248,9 @@ def _bwd_impl(image, px, py, g):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_blocks, rows, wq), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_blocks, rows, wq), jnp.float32),
+            _out_struct((b, c, h, w), jnp.float32, image, px, py, g),
+            _out_struct((b, n_blocks, rows, wq), jnp.float32, image, px, py, g),
+            _out_struct((b, n_blocks, rows, wq), jnp.float32, image, px, py, g),
         ],
         interpret=INTERPRET,
     )(img_chw, pxb, pyb, gb)

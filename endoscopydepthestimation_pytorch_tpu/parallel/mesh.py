@@ -94,7 +94,8 @@ def make_parallel_train_step(config: training.TrainConfig, mesh: Mesh,
         donate_argnums=0)
 
 
-def make_shardmap_train_step(config: training.TrainConfig, mesh: Mesh, model):
+def make_shardmap_train_step(config: training.TrainConfig, mesh: Mesh, model,
+                             backend: Optional[str] = None):
     """The train step as an explicit per-shard program under shard_map.
 
     Why this exists next to ``make_parallel_train_step``: the Pallas warp
@@ -109,8 +110,13 @@ def make_shardmap_train_step(config: training.TrainConfig, mesh: Mesh, model):
     Numerics: identical math to ``make_parallel_train_step`` — only
     reduction ORDER differs (per-shard mean then cross-shard mean of equal
     shards), so results agree to float rounding, not bit-exactly.
+
+    ``backend`` overrides the per-shard sampler backend (default: "pallas"
+    on TPU, "auto" elsewhere) — tests force "pallas" in interpret mode on
+    the CPU mesh to trace the exact program a multi-chip TPU would run.
     """
     axis = mesh.axis_names[0]
+    forced_backend = backend
     apply_fn = model.clone(axis_name=axis).apply
     eps = config.zero_division_epsilon
     scalar_keys = ("sparse_flow_loss", "depth_consistency_loss",
@@ -121,21 +127,30 @@ def make_shardmap_train_step(config: training.TrainConfig, mesh: Mesh, model):
         # TPU (dispatch happens at trace time — backend_scope is active
         # while this body is traced).
         from ..ops import gridsample
-        backend = "pallas" if jax.default_backend() == "tpu" else "auto"
+        backend = forced_backend or (
+            "pallas" if jax.default_backend() == "tpu" else "auto")
 
         def loss_fn(p):
             d1, d2, new_stats = training._forward_pair(
                 apply_fn, p, batch_stats, batch, train=True)
             loss, aux = training.compute_losses(
                 d1, d2, batch, config.sfl_weight, dclw, eps)
-            return loss, (new_stats, aux)
+            # differentiate the GLOBAL (pmean'd) loss, not the per-shard
+            # loss: under vma-checked shard_map (jax >= 0.9) the gradient
+            # of a per-shard scalar w.r.t. replicated params comes back as
+            # the psum over every shard's own seed — axis_size times the
+            # gradient of the global mean. Seeding the pmean'd loss makes
+            # every parameter cotangent arrive replicated AND correctly
+            # scaled, with no post-hoc rescaling contract to maintain
+            # (guarded by test_sharding.py grad_norm parity assertions).
+            return jax.lax.pmean(loss, axis), (new_stats, aux)
 
         with gridsample.backend_scope(backend):
             (loss, (new_stats, aux)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
 
+        # already replicated; the pmean only certifies that for out_specs
         grads = jax.lax.pmean(grads, axis)
-        loss = jax.lax.pmean(loss, axis)
         scalars = {k: jax.lax.pmean(aux[k], axis) for k in scalar_keys}
         # new_stats is already cross-shard identical (BN axis_name pmean);
         # the pmean below just certifies replication for out_specs=P()

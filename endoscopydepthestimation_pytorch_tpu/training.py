@@ -132,13 +132,18 @@ def compute_losses(d1, d2, batch, sfl_weight, dcl_weight, epsilon: float):
     t_fwd = stack(batch["translation_1_wrt_2"], batch["translation_2_wrt_1"])
     r_fwd = stack(batch["rotation_1_wrt_2"], batch["rotation_2_wrt_1"])
 
-    scaled, std = geometry.scale_recovery(
+    scaled, stds_vec, scales_vec = geometry.scale_recovery_per_sample(
         stack(d1, d2),
         stack(batch["sparse_depth_1"], batch["sparse_depth_2"]),
         stack(batch["depth_mask_1"], batch["depth_mask_2"]), epsilon)
     scaled_1, scaled_2 = jnp.split(scaled, 2, axis=0)
-    # scale_recovery's diagnostic is a batch mean; recompute per frame
-    std_1 = std_2 = std
+    # per-frame diagnostics: the reference calls DepthScalingLayer once per
+    # frame over B samples (train.py:279-282 there), so each frame's
+    # normalized std is the cross-batch formula over its own half
+    stds_1v, stds_2v = jnp.split(stds_vec, 2, axis=0)
+    scales_1v, scales_2v = jnp.split(scales_vec, 2, axis=0)
+    std_1 = geometry.normalized_scale_std(stds_1v, scales_1v)
+    std_2 = geometry.normalized_scale_std(stds_2v, scales_2v)
 
     flows_from_depth = geometry.flow_from_depth(
         scaled, bound2, t_fwd, r_fwd, k2) * bound2
@@ -167,7 +172,9 @@ def compute_losses(d1, d2, batch, sfl_weight, dcl_weight, epsilon: float):
         "flows_from_depth_1": flows_from_depth_1,
         "flows_from_depth_2": flows_from_depth_2,
         "warped_depth_2_to_1": warped_2_to_1,
+        "warped_depth_1_to_2": warped_1_to_2,
         "intersect_masks_1": intersect_1,
+        "intersect_masks_2": intersect_2,
     }
     return sfl + dcl, aux
 
@@ -211,10 +218,11 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
     """One fully-fused optimization step. ``dcl_weight`` is a traced scalar
     so the warmup switch (train.py:239-242) never recompiles.
 
-    ``with_images=True`` additionally returns the scaled depth and dense
-    flow of frame 1 for the reference's per-``display_interval`` training
-    image board (train.py:353-371 there). It is a separate compiled
-    program — non-display steps pay nothing for it.
+    ``with_images=True`` additionally returns both frames' scaled depths
+    and dense flows for the reference's per-``display_interval`` 8-row
+    training board (c1,d1,sf1,df1,c2,d2,sf2,df2 — train.py:353-371 there).
+    It is a separate compiled program — non-display steps pay nothing for
+    it.
     """
     eps = config.zero_division_epsilon
 
@@ -229,7 +237,9 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
     if with_images:
         metrics = dict(metrics,
                        scaled_depth_1=aux["scaled_depth_1"],
-                       flows_from_depth_1=aux["flows_from_depth_1"])
+                       flows_from_depth_1=aux["flows_from_depth_1"],
+                       scaled_depth_2=aux["scaled_depth_2"],
+                       flows_from_depth_2=aux["flows_from_depth_2"])
     return new_state, metrics
 
 
@@ -262,7 +272,8 @@ def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
         metrics.update({k: aux[k] for k in
                         ("scaled_depth_1", "scaled_depth_2", "flows_from_depth_1",
                          "flows_from_depth_2", "warped_depth_2_to_1",
-                         "intersect_masks_1")})
+                         "warped_depth_1_to_2", "intersect_masks_1",
+                         "intersect_masks_2")})
     return metrics
 
 

@@ -27,6 +27,7 @@ from endoscopydepthestimation_pytorch_tpu import training
 from endoscopydepthestimation_pytorch_tpu.data import readers
 from endoscopydepthestimation_pytorch_tpu.data.dataset import BatchLoader, SfMDataset
 from endoscopydepthestimation_pytorch_tpu.models import FCDenseNet57
+from endoscopydepthestimation_pytorch_tpu.parallel import pad_batch_to
 from endoscopydepthestimation_pytorch_tpu.utils import checkpoint as ckpt
 from endoscopydepthestimation_pytorch_tpu.utils import visualization as viz
 from endoscopydepthestimation_pytorch_tpu.utils.pointcloud import (
@@ -115,31 +116,38 @@ def run_validation(args, log_root, height, width):
     abs_rels, sigmas = [], []
 
     for batch_idx, batch in enumerate(loader):
-        device_batch = {k: jnp.asarray(v) for k, v in batch.items()
+        # pad the ragged final batch to the static batch size so every
+        # batch reuses ONE compiled program (XLA retraces per shape);
+        # per-sample outputs below are sliced back to the valid count
+        padded = pad_batch_to(batch, args.batch_size)
+        valid = padded.pop("_valid")
+        device_batch = {k: jnp.asarray(v) for k, v in padded.items()
                         if not isinstance(v, list)}
         metrics = eval_fn(state, device_batch, jnp.asarray(config.dcl_weight))
 
-        scaled_1 = np.asarray(metrics["scaled_depth_1"])
+        scaled_1 = np.asarray(metrics["scaled_depth_1"])[:valid]
         abs_rels.append(np.asarray(loss_lib.abs_rel_error(
-            jnp.asarray(scaled_1), device_batch["sparse_depth_1"],
-            device_batch["depth_mask_1"])))
-        sigmas.append([np.asarray(s) for s in loss_lib.threshold_metric(
-            jnp.asarray(scaled_1), device_batch["sparse_depth_1"],
-            device_batch["depth_mask_1"])])
+            jnp.asarray(scaled_1), device_batch["sparse_depth_1"][:valid],
+            device_batch["depth_mask_1"][:valid])))
+        sigmas.append(np.stack([np.asarray(s) for s in loss_lib.threshold_metric(
+            jnp.asarray(scaled_1), device_batch["sparse_depth_1"][:valid],
+            device_batch["depth_mask_1"][:valid])], axis=0))  # (3, valid)
 
         panels_1 = viz.validation_panel(
             batch["color_1"], batch["sparse_depth_1"],
             scaled_1 * batch["boundary"],
-            np.asarray(metrics["warped_depth_2_to_1"]),
+            np.asarray(metrics["warped_depth_2_to_1"])[:valid],
             batch["flow_1"] * batch["boundary"],
-            np.asarray(metrics["flows_from_depth_1"]) * batch["boundary"],
+            np.asarray(metrics["flows_from_depth_1"])[:valid] * batch["boundary"],
             batch["boundary"], is_hsv=args.use_hsv_colorspace)
+        # frame-2 row renders the 1->2 warped depth (reference
+        # evaluate.py:242-259), not the frame-2 prediction again
         panels_2 = viz.validation_panel(
             batch["color_2"], batch["sparse_depth_2"],
-            np.asarray(metrics["scaled_depth_2"]) * batch["boundary"],
-            np.asarray(metrics["scaled_depth_2"]),
+            np.asarray(metrics["scaled_depth_2"])[:valid] * batch["boundary"],
+            np.asarray(metrics["warped_depth_1_to_2"])[:valid],
             batch["flow_2"] * batch["boundary"],
-            np.asarray(metrics["flows_from_depth_2"]) * batch["boundary"],
+            np.asarray(metrics["flows_from_depth_2"])[:valid] * batch["boundary"],
             batch["boundary"], is_hsv=args.use_hsv_colorspace)
         image = viz.stack_panels(panels_1 + panels_2)
         cv2.imwrite(str(log_root / f"{batch_idx}.png"),
@@ -156,17 +164,17 @@ def run_validation(args, log_root, height, width):
         print(f"batch {batch_idx}: loss {float(metrics['loss']):.5f}")
 
     abs_rel = float(np.concatenate(abs_rels).mean()) if abs_rels else float("nan")
-    sig = np.asarray(sigmas)  # (n, 3, b)
+    sig = np.concatenate(sigmas, axis=1)  # (3, total_samples)
     print(f"AbsRel {abs_rel:.5f}  "
-          f"sigma<1.25 {float(sig[:, 0].mean()):.4f}  "
-          f"sigma<1.25^2 {float(sig[:, 1].mean()):.4f}  "
-          f"sigma<1.25^3 {float(sig[:, 2].mean()):.4f}")
+          f"sigma<1.25 {float(sig[0].mean()):.4f}  "
+          f"sigma<1.25^2 {float(sig[1].mean()):.4f}  "
+          f"sigma<1.25^3 {float(sig[2].mean()):.4f}")
     with open(log_root / "metrics.json", "w") as f:
         import json
         json.dump({"abs_rel": abs_rel,
-                   "sigma_1.25": float(sig[:, 0].mean()),
-                   "sigma_1.25^2": float(sig[:, 1].mean()),
-                   "sigma_1.25^3": float(sig[:, 2].mean())}, f)
+                   "sigma_1.25": float(sig[0].mean()),
+                   "sigma_1.25^2": float(sig[1].mean()),
+                   "sigma_1.25^3": float(sig[2].mean())}, f)
 
 
 def run_test(args, log_root, height, width):

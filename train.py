@@ -223,19 +223,23 @@ def main(argv=None):
                 if display:
                     state, metrics = train_step_display(state, device_batch,
                                                         dcl_weight)
-                    panels = viz.training_panel(
-                        np.asarray(device_batch["color_1"]),
-                        np.asarray(metrics["scaled_depth_1"])
-                        * np.asarray(device_batch["boundary"]),
-                        np.asarray(device_batch["flow_1"])
-                        * np.asarray(device_batch["boundary"]),
-                        np.asarray(metrics["flows_from_depth_1"]),
-                        is_hsv=args.use_hsv_colorspace)
+                    # 8-row board: c1,d1,sf1,df1,c2,d2,sf2,df2 (reference
+                    # train.py:353-371)
+                    boundary = np.asarray(device_batch["boundary"])
+                    panels = []
+                    for f in ("1", "2"):
+                        panels += viz.training_panel(
+                            np.asarray(device_batch[f"color_{f}"]),
+                            np.asarray(metrics[f"scaled_depth_{f}"]) * boundary,
+                            np.asarray(device_batch[f"flow_{f}"]) * boundary,
+                            np.asarray(metrics[f"flows_from_depth_{f}"]),
+                            is_hsv=args.use_hsv_colorspace)
                     writer.add_image("Training/Images/Results",
                                      viz.stack_panels(panels), int(state.step))
                     metrics = {k: v for k, v in metrics.items()
-                               if k not in ("scaled_depth_1",
-                                            "flows_from_depth_1")}
+                               if k not in ("scaled_depth_1", "scaled_depth_2",
+                                            "flows_from_depth_1",
+                                            "flows_from_depth_2")}
                 else:
                     state, metrics = train_step(state, device_batch, dcl_weight)
                 if pending is not None and batch_idx % args.log_interval == 0:
@@ -281,12 +285,15 @@ def main(argv=None):
                 v = float(metrics[k])
                 val_means[k] = val_means.get(k, 0.0) + (v - val_means.get(k, 0.0)) / n
             if batch_idx % args.display_interval == 0:
-                panels = viz.training_panel(
-                    np.asarray(batch["color_1"]),
-                    np.asarray(metrics["scaled_depth_1"]) * batch["boundary"],
-                    batch["flow_1"] * batch["boundary"],
-                    np.asarray(metrics["flows_from_depth_1"]),
-                    is_hsv=args.use_hsv_colorspace)
+                # 8-row board, both frames (reference train.py:461-479)
+                panels = []
+                for f in ("1", "2"):
+                    panels += viz.training_panel(
+                        np.asarray(batch[f"color_{f}"]),
+                        np.asarray(metrics[f"scaled_depth_{f}"]) * batch["boundary"],
+                        batch[f"flow_{f}"] * batch["boundary"],
+                        np.asarray(metrics[f"flows_from_depth_{f}"]),
+                        is_hsv=args.use_hsv_colorspace)
                 writer.add_image("Validation/Images/Results",
                                  viz.stack_panels(panels), int(state.step))
         if val_means:
