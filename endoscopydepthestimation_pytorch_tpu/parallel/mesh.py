@@ -71,8 +71,16 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jnp.ndarr
 
 
 def replicate_state(state: training.TrainState, mesh: Mesh) -> training.TrainState:
-    """Replicate parameters/optimizer state across the mesh."""
+    """Replicate parameters/optimizer state across the mesh.
+
+    Multi-host: ``device_put`` cannot address other hosts' devices, so the
+    replicated global arrays are assembled from each host's (identical)
+    copy, like ``shard_batch`` does for the batch axis."""
     rep = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)),
+            state)
     return jax.tree.map(lambda x: jax.device_put(x, rep), state)
 
 

@@ -9,7 +9,9 @@ position is recovered from the step like the reference's
 ``batch_step(step)``.
 
 Reference *torch* checkpoints are also loadable (weights only) via
-``models.torch_import``.
+``models.torch_import``, and a TPU-trained state exports back to the
+reference's ``.pt`` format (``export_torch_checkpoint``) so its own
+evaluate.py can consume it — two-way interop.
 """
 from __future__ import annotations
 
@@ -60,6 +62,23 @@ def load_checkpoint(path, state) -> Tuple[Any, int, float]:
         opt_state=jax.tree.map(np.asarray, restored["opt_state"]),
         step=np.asarray(restored["step"]))
     return new_state, int(restored["epoch"]), float(restored["validation"])
+
+
+def export_torch_checkpoint(path, state, epoch: int = 0,
+                            validation_loss: float = 0.0,
+                            down_blocks=(4, 4, 4, 4, 4),
+                            up_blocks=(4, 4, 4, 4, 4),
+                            bottleneck_layers: int = 4) -> None:
+    """Write this state's weights as a reference-format torch ``.pt``
+    (utils.py:674-682 layout) loadable by the reference train/evaluate."""
+    from ..models.torch_import import save_reference_checkpoint
+    variables = {"params": jax.tree.map(np.asarray, state.params),
+                 "batch_stats": jax.tree.map(np.asarray, state.batch_stats)}
+    save_reference_checkpoint(path, variables, epoch=epoch,
+                              step=int(state.step),
+                              validation=validation_loss,
+                              down_blocks=down_blocks, up_blocks=up_blocks,
+                              bottleneck_layers=bottleneck_layers)
 
 
 def load_any_checkpoint(path, state) -> Tuple[Any, int, float]:

