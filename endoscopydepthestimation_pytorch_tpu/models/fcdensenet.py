@@ -313,6 +313,10 @@ class DenseBlock(nn.Module):
     block_packed: bool = False  # Pallas packed-block forward + recompute
     # backward (ops/dense_block_packed.py); falls back to materialized when
     # B % 8 != 0 or W % 8 != 0 (bottleneck level, tiny shard_map shards)
+    block_engine: bool = False  # round-3 whole-block Pallas engine, forward
+    # AND backward in Pallas (ops/block_engine.py); falls back to the
+    # materialized path when the shape gate rejects (tiny levels, ragged
+    # batches, deep 103-style blocks)
     with_stats: bool = False  # non-upsample blocks also return the output
     # concat's per-channel (mean, mean_sq) so TransitionDown can reuse them
 
@@ -323,12 +327,19 @@ class DenseBlock(nn.Module):
         if not (train and not self.fused and not self.segmented
                 and not self.is_initializing()):
             return None
-        if not (self.buffered or self.block_packed):
+        if not (self.buffered or self.block_packed or self.block_engine):
             return None
         if isinstance(x, (list, tuple)):
             x = jnp.concatenate([s.astype(self.dtype) for s in x], axis=-1)
         x = x.astype(self.dtype)
         b, hh, ww, c0 = x.shape
+        from ..ops.block_engine import supported as engine_ok
+        use_engine = self.block_engine and engine_ok(b, hh, ww, self.n_layers)
+        if self.block_engine and not use_engine and not (
+                self.buffered or self.block_packed):
+            # engine shape gate rejected (tiny levels, ragged batches,
+            # per-shard slivers) — fall back to the materialized path
+            return None
         if self.block_packed and not (b % 8 == 0 and ww % 8 == 0):
             # packed layout wants batch octets and whole position groups
             # (e.g. the 16x20 bottleneck, or tiny per-shard batches under
@@ -342,7 +353,9 @@ class DenseBlock(nn.Module):
                   for j in range(self.n_layers)]
         dims = (g, self.n_layers, 1e-5,
                 self.axis_name if isinstance(self.axis_name, str) else None)
-        if self.block_packed and b % 8 == 0 and ww % 8 == 0:
+        if use_engine:
+            from ..ops.block_engine import block_engine_apply as apply_fn
+        elif self.block_packed and b % 8 == 0 and ww % 8 == 0:
             from ..ops.dense_block_packed import packed_block_apply as apply_fn
         else:
             from ..ops.dense_block import dense_block_apply as apply_fn
@@ -552,6 +565,11 @@ class FCDenseNet(nn.Module):
     # threads activations in the position-packed layout (one pack per
     # block, lane concats, BN+ReLU+conv fused in VMEM) and the backward is
     # the buffered block's prefix-recompute VJP (ops/dense_block_packed.py).
+    block_engine: bool = False  # round-3 whole-block Pallas engine: no
+    # concat ever materializes inside a block (growth segments live as
+    # packed-96 side tensors), BN stats are kernel byproducts, and the
+    # backward (dx/dseg/dW/BN sums) also runs in Pallas
+    # (ops/block_engine.py). The default engine as of round 3.
     segmented_last_up: bool = False  # segment-decompose ONLY the final
     # (full-resolution, non-upsample) up block: its incremental concats
     # are the single most expensive op of the step (20.2 ms of the 180,
@@ -575,6 +593,7 @@ class FCDenseNet(nn.Module):
                             fused=self.fused, segmented=self.segmented,
                             buffered=self.buffered,
                             block_packed=self.block_packed,
+                            block_engine=self.block_engine,
                             with_stats=not self.segmented,
                             name=f"denseBlocksDown{i}")(out, train)
             out, bstats = res if isinstance(res, tuple) else (res, None)
@@ -588,6 +607,7 @@ class FCDenseNet(nn.Module):
                         axis_name=self.axis_name, fused=self.fused,
                         segmented=self.segmented, buffered=self.buffered,
                         block_packed=self.block_packed,
+                            block_engine=self.block_engine,
                         name="bottleneck")(out, train)
 
         for i, n in enumerate(self.up_blocks):
@@ -605,6 +625,7 @@ class FCDenseNet(nn.Module):
                                        (last and self.segmented_last_up)),
                             buffered=self.buffered,
                             block_packed=self.block_packed,
+                            block_engine=self.block_engine,
                             name=f"denseBlocksUp{i}")(out, train)
 
         if isinstance(out, (list, tuple)):
