@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--segmented", action="store_true")
     ap.add_argument("--buffered", action="store_true")
     ap.add_argument("--block_packed", action="store_true")
+    ap.add_argument("--block_engine", action="store_true")
     ap.add_argument("--trace_dir", default="/tmp/jtrace_step")
     args = ap.parse_args()
 
@@ -42,7 +43,8 @@ def main():
 
     model = FCDenseNet57(n_classes=1, dtype=jnp.bfloat16, fused=args.fused,
                          segmented=args.segmented, buffered=args.buffered,
-                         block_packed=args.block_packed)
+                         block_packed=args.block_packed,
+                         block_engine=args.block_engine)
     config = training.TrainConfig(lr_step_size=1000)
     state = training.create_train_state(
         model, jax.random.PRNGKey(0), (1,) + tuple(args.hw) + (3,), config)
