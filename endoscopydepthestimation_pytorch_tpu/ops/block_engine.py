@@ -81,8 +81,11 @@ INTERPRET = False  # flipped by CPU tests
 
 # VMEM budget for picking the row-block size (bytes). Mosaic double-buffers
 # pipelined operand blocks, so usable VMEM is well under the 16M cap
-# (PERF.md round-2 result 7).
-_VMEM_TARGET = 11 * 1024 * 1024
+# (PERF.md round-2 result 7). Overridable for A/B scans.
+import os as _os
+
+_VMEM_TARGET = int(_os.environ.get("BLOCK_ENGINE_VMEM_TARGET",
+                                   11 * 1024 * 1024))
 
 
 def supported(b: int, h: int, w: int, n_layers: int) -> bool:
@@ -153,22 +156,46 @@ def _fold_lanes(vnf: jnp.ndarray, growth: int) -> jnp.ndarray:
 #   cb[g] = hi-lanes(act[g-1]) + lo-lanes(act[g+1])  (built in-kernel)
 
 
+# Constant position-selection masks (built once at import): the weight
+# tables run INSIDE the train step (every step, weights change), so they
+# must be single fused contractions — the earlier .at[].set loops cost
+# ~100 tiny scatter/slice ops per step (measured in the step profile).
+import numpy as _np
+
+_S_INT = _np.zeros((3, DELTA, DELTA), _np.float32)   # [kx, dp, d]
+for _d in range(DELTA):
+    for _kx in range(3):
+        _dp = _d + _kx - 1
+        if 0 <= _dp < DELTA:
+            _S_INT[_kx, _dp, _d] = 1.0
+_S_BND = _np.zeros((3, DELTA, DELTA), _np.float32)
+_S_BND[0, DELTA - 1, 0] = 1.0   # prev group's pos 7 -> pos 0 (kx=0)
+_S_BND[2, 0, DELTA - 1] = 1.0   # next group's pos 0 -> pos 7 (kx=2)
+_U_WT = _np.zeros((3, DELTA, DELTA), _np.float32)    # [kx, d, dt]
+for _d in range(DELTA):
+    for _dt in range(_d - 1, _d + 2):
+        if 0 <= _dt < DELTA:
+            _U_WT[_d - _dt + 1, _d, _dt] = 1.0
+_V_WTB = _np.zeros((3, 2, DELTA), _np.float32)       # [kx, slot, dt]
+_V_WTB[2, 0, DELTA - 1] = 1.0   # slot 0: d=0 via prev group (kx=2)
+_V_WTB[0, 1, 0] = 1.0           # slot 1: d=7 via next group (kx=0)
+_M_HI = _np.zeros((3, DELTA, DELTA), _np.float32)    # [kx, d, dp]
+_M_HI[0, 0, DELTA - 1] = 1.0
+_M_LO = _np.zeros((3, DELTA, DELTA), _np.float32)
+_M_LO[2, DELTA - 1, 0] = 1.0
+_W_DWP = _np.zeros((3, DELTA + 2, DELTA), _np.float32)  # [kx, q, d]
+for _kx in range(3):
+    for _d in range(DELTA):
+        _W_DWP[_kx, _kx + _d, _d] = 1.0
+del _d, _kx, _dp, _dt
+
+
 def _gw_tables(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """w: (3, 3, growth, growth) -> (GWI, GWB), each (3, NF, NF) f32."""
+    """w: (3, 3, growth, growth) -> (GWI, GWB), each (3, NF, NF)."""
     growth = w.shape[2]
     nf = DELTA * growth
-    gwi = jnp.zeros((3, nf, nf), w.dtype)
-    gwb = jnp.zeros((3, nf, nf), w.dtype)
-    for ky in range(3):
-        for d in range(DELTA):
-            for kx in range(3):
-                dp = d + kx - 1  # input position for output position d
-                blk = w[ky, kx]
-                if 0 <= dp < DELTA:
-                    gwi = gwi.at[ky, dp * growth:(dp + 1) * growth,
-                                 d * growth:(d + 1) * growth].set(blk)
-        gwb = gwb.at[ky, (DELTA - 1) * growth:, :growth].set(w[ky, 0])
-        gwb = gwb.at[ky, :growth, (DELTA - 1) * growth:].set(w[ky, 2])
+    gwi = jnp.einsum('xpd,yxcf->ypcdf', _S_INT, w).reshape(3, nf, nf)
+    gwb = jnp.einsum('xpd,yxcf->ypcdf', _S_BND, w).reshape(3, nf, nf)
     return gwi, gwb
 
 
@@ -184,21 +211,10 @@ def _wt_tables(w: jnp.ndarray, cpad: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     _, _, c, growth = w.shape
     nf = DELTA * growth
-    wt = jnp.zeros((DELTA, 3, nf, cpad), w.dtype)
-    wtb = jnp.zeros((2, 3, nf, cpad), w.dtype)
-    for ky in range(3):
-        for d in range(DELTA):
-            for dt_ in (d - 1, d, d + 1):
-                kx = d - dt_ + 1
-                if 0 <= dt_ < DELTA:
-                    wt = wt.at[d, ky, dt_ * growth:(dt_ + 1) * growth, :c].set(
-                        jnp.swapaxes(w[ky, kx], 0, 1))
-        # d=0, dt=-1 (prev group pos 7): kx = 0-(-1)+1 = 2
-        wtb = wtb.at[0, ky, (DELTA - 1) * growth:, :c].set(
-            jnp.swapaxes(w[ky, 2], 0, 1))
-        # d=7, dt=8 (next group pos 0): kx = 7-8+1 = 0
-        wtb = wtb.at[1, ky, :growth, :c].set(jnp.swapaxes(w[ky, 0], 0, 1))
-    return wt, wtb
+    wt = jnp.einsum('xdt,yxcf->dytfc', _U_WT, w).reshape(DELTA, 3, nf, c)
+    wtb = jnp.einsum('xbt,yxcf->bytfc', _V_WTB, w).reshape(2, 3, nf, c)
+    pad = [(0, 0)] * 3 + [(0, cpad - c)]
+    return jnp.pad(wt, pad), jnp.pad(wtb, pad)
 
 
 def _gwt_tables(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -214,112 +230,113 @@ def _gwt_tables(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     growth = w.shape[2]
     nf = DELTA * growth
     gwti = jnp.swapaxes(gwi, 1, 2)
-    hi = jnp.zeros((3, nf, nf), w.dtype)
-    lo = jnp.zeros((3, nf, nf), w.dtype)
-    for ky in range(3):
-        hi = hi.at[ky, :growth, (DELTA - 1) * growth:].set(
-            jnp.swapaxes(w[ky, 0], 0, 1))
-        lo = lo.at[ky, (DELTA - 1) * growth:, :growth].set(
-            jnp.swapaxes(w[ky, 2], 0, 1))
+    hi = jnp.einsum('xdp,yxcf->ydfpc', _M_HI, w).reshape(3, nf, nf)
+    lo = jnp.einsum('xdp,yxcf->ydfpc', _M_LO, w).reshape(3, nf, nf)
     return gwti, hi, lo
 
 
 def _unpack_dwp(dwp: jnp.ndarray, c: int, growth: int) -> jnp.ndarray:
     """Packed x-part weight-grad (30, cpad, NF) -> (3, 3, c, growth).
-    Inverse of the scatter in dense_conv.pack_tap_weights."""
-    dw = jnp.zeros((3, 3, c, growth), dwp.dtype)
-    for ky in range(3):
-        for kx in range(3):
-            acc = None
-            for d in range(DELTA):
-                kxp = kx + d - 1
-                if -1 <= kxp <= DELTA:
-                    t = dwp[ky * (DELTA + 2) + kxp + 1, :c,
-                            d * growth:(d + 1) * growth]
-                    acc = t if acc is None else acc + t
-            dw = dw.at[ky, kx].set(acc)
-    return dw
+    Inverse of the scatter in dense_conv.pack_tap_weights — one fused
+    contraction (runs inside every train step)."""
+    cpad = dwp.shape[1]
+    dwp_r = dwp.reshape(3, DELTA + 2, cpad, DELTA, growth)
+    dw = jnp.einsum('xqd,yqcdf->yxcf', _W_DWP, dwp_r)
+    return dw[:, :, :c, :]
 
 
 def _unpack_dgw(dgwi: jnp.ndarray, dgwb: jnp.ndarray, growth: int
                 ) -> jnp.ndarray:
     """Growth weight-grads ((3,NF,NF) interior + boundary) ->
-    (3, 3, growth, growth)."""
-    dw = jnp.zeros((3, 3, growth, growth), dgwi.dtype)
-    for ky in range(3):
-        for kx in range(3):
-            acc = None
-            for d in range(DELTA):
-                dp = d + kx - 1
-                if 0 <= dp < DELTA:
-                    t = dgwi[ky, dp * growth:(dp + 1) * growth,
-                             d * growth:(d + 1) * growth]
-                    acc = t if acc is None else acc + t
-            dw = dw.at[ky, kx].set(acc)
-        dw = dw.at[ky, 0].add(dgwb[ky, (DELTA - 1) * growth:, :growth])
-        dw = dw.at[ky, 2].add(dgwb[ky, :growth, (DELTA - 1) * growth:])
-    return dw
+    (3, 3, growth, growth) — two fused contractions."""
+    dgwi_r = dgwi.reshape(3, DELTA, growth, DELTA, growth)
+    dgwb_r = dgwb.reshape(3, DELTA, growth, DELTA, growth)
+    return (jnp.einsum('xpd,ypcdf->yxcf', _S_INT, dgwi_r)
+            + jnp.einsum('xpd,ypcdf->yxcf', _S_BND, dgwb_r))
 
 
 # ---------------------------------------------------------------------------
 # row-block sizing
 
 
-def _pick_rows(h: int, g: int, c_blocks_bytes: int, scratch_per_row: int,
-               fixed_bytes: int) -> int:
-    """Largest divisor of h whose estimated VMEM footprint fits the
-    budget. c_blocks_bytes/scratch_per_row are per-row costs of pipelined
-    operand blocks (doubled for Mosaic's double buffering) and scratch."""
-    best = 1
-    for r in range(1, min(h, 64) + 1):
-        if h % r:
+def _pick_rows_db(h: int, g: int, cost_fn) -> Tuple[int, int]:
+    """Pick (row-block r, d-block db). The big-CK operands carry the 8d
+    position axis, which is split across the grid so the ROW block can
+    grow at full resolution — halo read amplification is (r+2)/r, so r
+    dominates bandwidth while db only amortizes per-grid-step overhead.
+    Lexicographic: maximize r (traffic), then db (fewer grid steps),
+    under the VMEM budget. cost_fn(r, db) -> estimated bytes."""
+    best = (1, 1)
+    for r in range(1, min(h, 16) + 1):
+        if h % r or r * 8 * g > 4096:
             continue
-        est = fixed_bytes + 2 * (r + 2) * c_blocks_bytes \
-            + (r + 2) * scratch_per_row
-        if est <= _VMEM_TARGET and r * 8 * g <= 4096:
-            best = r
+        for db in (1, 2, 4, 8):
+            if cost_fn(r, db) <= _VMEM_TARGET:
+                if (r, db) > best:
+                    best = (r, db)
     return best
 
 
 def _rows_fwd(h: int, g: int, n_seg: int, c: int, growth: int,
-              itemsize: int) -> int:
+              itemsize: int) -> Tuple[int, int]:
     nf = DELTA * growth
-    row_ops = DELTA * g * DELTA * CK * itemsize \
-        + n_seg * g * DELTA * nf * itemsize
-    row_scr = (DELTA + 2) * g * DELTA * CK * itemsize \
-        + (n_seg + 1) * g * DELTA * nf * itemsize \
-        + g * DELTA * nf * 4  # f32 acc
+    row_seg = n_seg * g * DELTA * nf * itemsize
     fixed = 2 * N_TAPS * CK * nf * itemsize \
         + 2 * 3 * 2 * max(n_seg, 1) * nf * nf * itemsize
-    return _pick_rows(h, g, row_ops, row_scr, fixed)
+
+    def cost(r, db):
+        row_x = db * g * DELTA * CK * itemsize
+        scr = (r + 2) * (db + 1) * g * DELTA * CK * itemsize \
+            + (r + 2) * (n_seg + 1) * g * DELTA * nf * itemsize \
+            + r * g * DELTA * nf * 4  # f32 acc
+        out = 2 * r * g * DELTA * nf * itemsize
+        return fixed + 2 * (r + 2) * (row_x + row_seg) + scr + out
+
+    return _pick_rows_db(h, g, cost)
 
 
-def _rows_bwd1(h: int, g: int, n_seg: int, growth: int, itemsize: int) -> int:
+def _rows_bwd1(h: int, g: int, n_seg: int, growth: int,
+               itemsize: int) -> Tuple[int, int]:
     nf = DELTA * growth
-    row_ops = (2 + 2 * DELTA) * g * DELTA * CK * itemsize \
-        + (2 + n_seg) * g * DELTA * nf * itemsize
-    row_scr = 3 * g * DELTA * nf * itemsize
+    row_nf = (2 + n_seg) * g * DELTA * nf * itemsize
     fixed = 2 * (DELTA + 2) * 3 * nf * CK * itemsize \
         + 2 * 3 * 3 * max(n_seg, 1) * nf * nf * itemsize
-    return _pick_rows(h, g, row_ops, row_scr, fixed)
+
+    def cost(r, db):
+        row_ck = 3 * db * g * DELTA * CK * itemsize  # xt + gx in/out
+        scr = 3 * (r + 2) * g * DELTA * nf * itemsize
+        return fixed + 2 * (r + 2) * (row_ck + row_nf) + scr
+
+    return _pick_rows_db(h, g, cost)
 
 
-def _rows_bwd2(h: int, g: int, n_seg: int, growth: int, itemsize: int) -> int:
+def _rows_bwd2(h: int, g: int, n_seg: int, growth: int,
+               itemsize: int) -> Tuple[int, int]:
     nf = DELTA * growth
-    row_ops = DELTA * g * DELTA * CK * itemsize \
-        + (2 + n_seg) * g * DELTA * nf * itemsize
-    row_scr = (DELTA + 2) * g * DELTA * CK * itemsize \
-        + (n_seg + 2) * g * DELTA * nf * itemsize
+    row_nf = (2 + n_seg) * g * DELTA * nf * itemsize
     fixed = N_TAPS * CK * nf * 4 + 2 * 3 * max(n_seg, 1) * nf * nf * 4
-    return _pick_rows(h, g, row_ops, row_scr, fixed)
+
+    def cost(r, db):
+        row_x = db * g * DELTA * CK * itemsize
+        scr = (r + 2) * (db + 1) * g * DELTA * CK * itemsize \
+            + (r + 2) * (n_seg + 2) * g * DELTA * nf * itemsize
+        return fixed + 2 * (r + 2) * (row_x + row_nf) + scr
+
+    return _pick_rows_db(h, g, cost)
 
 
 # ---------------------------------------------------------------------------
 # forward kernel
 
 
-def _fwd_kernel(*refs, r, g, c, growth, n_seg, n_outs):
-    """Grid (b8, n_t, n_k), k innermost. See module docstring."""
+def _fwd_kernel(*refs, r, g, c, growth, n_seg, db):
+    """Grid (b8, n_t, n_k, n_d), d innermost. The 8d position axis of the
+    packed x operand is split across the grid (d-blocks of ``db``) so the
+    row block r stays large at full resolution — halo reads cost
+    (r+2)/r, and the within-group column taps need no column halo at
+    all: position d's tap is wp[ky, d], and the two cross-group boundary
+    taps fire only on the edge d-steps (pl.when) from a g-shift of the
+    resident slice. See module docstring."""
     nf = DELTA * growth
     (xt_top, xt_mid, xt_bot, sc_x, sh_x, wp) = refs[:6]
     pos = 6
@@ -332,12 +349,14 @@ def _fwd_kernel(*refs, r, g, c, growth, n_seg, n_outs):
     pos += 1
     out_ref, ssum_ref, ssq_ref = refs[pos:pos + 3]
     pos += 3
-    shm, sh0, sh2, aseg, cb, acc_ref = refs[pos:pos + 6]
+    shm, shx, aseg, cb, acc_ref = refs[pos:pos + 5]
 
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
     k = pl.program_id(2)
     n_k = pl.num_programs(2)
+    d = pl.program_id(3)
+    n_d = pl.num_programs(3)
     dt = xt_mid.dtype
 
     scale = sc_x[0].astype(dt)
@@ -350,18 +369,14 @@ def _fwd_kernel(*refs, r, g, c, growth, n_seg, n_outs):
         a = jnp.maximum(v * scale + shift, jnp.zeros((), dt))
         return jnp.where(valid, a, jnp.zeros((), dt))
 
-    zero_row = jnp.zeros((DELTA, 1, g, DELTA, CK), dt)
+    zero_row = jnp.zeros((db, 1, g, DELTA, CK), dt)
     shm[:, 1:r + 1] = activate(xt_mid[0])
     shm[:, 0:1] = jnp.where(t > 0, activate(xt_top[0]), zero_row)
     shm[:, r + 1:r + 2] = jnp.where(t < n_t - 1, activate(xt_bot[0]), zero_row)
-    sh0[:, 0:1] = jnp.zeros_like(sh0[:, 0:1])
-    sh0[:, 1:g] = shm[DELTA - 1, :, 0:g - 1]
-    sh2[:, g - 1:g] = jnp.zeros_like(sh2[:, g - 1:g])
-    sh2[:, 0:g - 1] = shm[0, :, 1:g]
 
     m = r * g * DELTA
 
-    @pl.when(k == 0)
+    @pl.when(jnp.logical_and(k == 0, d == 0))
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
         if n_seg:
@@ -399,24 +414,44 @@ def _fwd_kernel(*refs, r, g, c, growth, n_seg, n_outs):
             acc_ref[...] = gacc
 
     acc = acc_ref[...]
-    for ky in range(3):
-        for kxp in range(-1, DELTA + 1):
-            a0 = (kxp + DELTA) // DELTA
-            d = kxp % DELTA
-            if a0 == 0:
-                tap = sh0[ky:ky + r]
-            elif a0 == 2:
-                tap = sh2[ky:ky + r]
-            else:
-                tap = shm[d, ky:ky + r]
-            acc = acc + jnp.dot(tap.reshape(m, CK),
-                                wp[ky * (DELTA + 2) + kxp + 1],
+    for dd in range(db):
+        pos_d = d * db + dd  # global within-group position (traced)
+        for ky in range(3):
+            acc = acc + jnp.dot(shm[dd, ky:ky + r].reshape(m, CK),
+                                wp[ky * (DELTA + 2) + pos_d + 1],
                                 preferred_element_type=jnp.float32)
     acc_ref[...] = acc
 
-    @pl.when(k == n_k - 1)
+    # cross-group boundary taps: kxp=-1 (prev group's pos 7 -> pos 0) on
+    # the step holding position DELTA-1, kxp=DELTA on the step holding
+    # position 0. shx is shared — pl.when bodies run in program order.
+    @pl.when(d == n_d - 1)
     def _():
-        y = (acc + bias[0].astype(jnp.float32)).astype(dt)
+        shx[:, 0:1] = jnp.zeros_like(shx[:, 0:1])
+        shx[:, 1:g] = shm[db - 1, :, 0:g - 1]
+        a = acc_ref[...]
+        for ky in range(3):
+            a = a + jnp.dot(shx[ky:ky + r].reshape(m, CK),
+                            wp[ky * (DELTA + 2)],
+                            preferred_element_type=jnp.float32)
+        acc_ref[...] = a
+
+    @pl.when(d == 0)
+    def _():
+        shx[:, g - 1:g] = jnp.zeros_like(shx[:, g - 1:g])
+        shx[:, 0:g - 1] = shm[0, :, 1:g]
+        a = acc_ref[...]
+        for ky in range(3):
+            a = a + jnp.dot(shx[ky:ky + r].reshape(m, CK),
+                            wp[ky * (DELTA + 2) + DELTA + 1],
+                            preferred_element_type=jnp.float32)
+        acc_ref[...] = a
+
+    @pl.when(jnp.logical_and(k == n_k - 1, d == n_d - 1))
+    def _():
+        # read acc_ref (NOT the local acc): the boundary pl.when bodies
+        # above accumulate into the ref after the main store
+        y = (acc_ref[...] + bias[0].astype(jnp.float32)).astype(dt)
         out_ref[0, 0] = y.reshape(r, g, DELTA, nf)
         # stats partials keep the batch-octet sublane axis (DELTA, nf) so
         # the output block is Mosaic-legal (trailing dims (8, nf)); XLA
@@ -433,53 +468,58 @@ def _layer_fwd(xt, segs, sc_x, sh_x, wp, seg_sc, seg_sh, gwi, gwb, bias_nf,
     nf = DELTA * growth
     n_seg = len(segs)
     n_k = _ceil(c, CK)
-    r = _rows_fwd(h, g, n_seg, c, growth, xt.dtype.itemsize)
+    r, db = _rows_fwd(h, g, n_seg, c, growth, xt.dtype.itemsize)
+    n_d = DELTA // db
     m = r * g * DELTA
 
     in_specs = [
-        pl.BlockSpec((1, DELTA, 1, g, DELTA, CK),
-                     lambda i, t, k: (i, 0, jnp.maximum(t * r - 1, 0), 0, 0, k),
+        pl.BlockSpec((1, db, 1, g, DELTA, CK),
+                     lambda i, t, k, d: (i, d, jnp.maximum(t * r - 1, 0),
+                                         0, 0, k),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, DELTA, r, g, DELTA, CK),
-                     lambda i, t, k: (i, 0, t, 0, 0, k),
+        pl.BlockSpec((1, db, r, g, DELTA, CK),
+                     lambda i, t, k, d: (i, d, t, 0, 0, k),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, DELTA, 1, g, DELTA, CK),
-                     lambda i, t, k: (i, 0, jnp.minimum(t * r + r, h - 1),
-                                      0, 0, k),
+        pl.BlockSpec((1, db, 1, g, DELTA, CK),
+                     lambda i, t, k, d: (i, d, jnp.minimum(t * r + r, h - 1),
+                                         0, 0, k),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, CK), lambda i, t, k: (0, k), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, CK), lambda i, t, k: (0, k), memory_space=pltpu.VMEM),
-        pl.BlockSpec((N_TAPS, CK, nf), lambda i, t, k: (0, k, 0),
+        pl.BlockSpec((1, CK), lambda i, t, k, d: (0, k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CK), lambda i, t, k, d: (0, k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_TAPS, CK, nf), lambda i, t, k, d: (0, k, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [xt, xt, xt, sc_x, sh_x, wp]
     for s in range(n_seg):
         in_specs += [
             pl.BlockSpec((1, 1, g, DELTA, nf),
-                         lambda i, t, k: (i, jnp.maximum(t * r - 1, 0), 0, 0, 0),
+                         lambda i, t, k, d: (i, jnp.maximum(t * r - 1, 0),
+                                             0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, r, g, DELTA, nf),
-                         lambda i, t, k: (i, t, 0, 0, 0),
+                         lambda i, t, k, d: (i, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, g, DELTA, nf),
-                         lambda i, t, k: (i, jnp.minimum(t * r + r, h - 1),
-                                          0, 0, 0),
+                         lambda i, t, k, d: (i, jnp.minimum(t * r + r, h - 1),
+                                             0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         operands += [segs[s], segs[s], segs[s]]
     if n_seg:
         in_specs += [
-            pl.BlockSpec((n_seg, nf), lambda i, t, k: (0, 0),
+            pl.BlockSpec((n_seg, nf), lambda i, t, k, d: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_seg, nf), lambda i, t, k: (0, 0),
+            pl.BlockSpec((n_seg, nf), lambda i, t, k, d: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_seg, 3, nf, nf), lambda i, t, k: (0, 0, 0, 0),
+            pl.BlockSpec((n_seg, 3, nf, nf), lambda i, t, k, d: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_seg, 3, nf, nf), lambda i, t, k: (0, 0, 0, 0),
+            pl.BlockSpec((n_seg, 3, nf, nf), lambda i, t, k, d: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         operands += [seg_sc, seg_sh, gwi, gwb]
-    in_specs.append(pl.BlockSpec((1, nf), lambda i, t, k: (0, 0),
+    in_specs.append(pl.BlockSpec((1, nf), lambda i, t, k, d: (0, 0),
                                  memory_space=pltpu.VMEM))
     operands.append(bias_nf)
 
@@ -490,16 +530,15 @@ def _layer_fwd(xt, segs, sc_x, sh_x, wp, seg_sc, seg_sh, gwi, gwb, bias_nf,
     ]
     out_specs = [
         pl.BlockSpec((1, 1, r, g, DELTA, nf),
-                     lambda i, t, k: (i, t, 0, 0, 0, 0),
+                     lambda i, t, k, d: (i, t, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, DELTA, nf), lambda i, t, k: (i, t, 0, 0),
+        pl.BlockSpec((1, 1, DELTA, nf), lambda i, t, k, d: (i, t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, DELTA, nf), lambda i, t, k: (i, t, 0, 0),
+        pl.BlockSpec((1, 1, DELTA, nf), lambda i, t, k, d: (i, t, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     scratch = [
-        pltpu.VMEM((DELTA, r + 2, g, DELTA, CK), xt.dtype),
-        pltpu.VMEM((r + 2, g, DELTA, CK), xt.dtype),
+        pltpu.VMEM((db, r + 2, g, DELTA, CK), xt.dtype),
         pltpu.VMEM((r + 2, g, DELTA, CK), xt.dtype),
         pltpu.VMEM((max(n_seg, 1), r + 2, g, DELTA, nf), xt.dtype),
         pltpu.VMEM((r + 2, g, DELTA, nf), xt.dtype),
@@ -507,8 +546,8 @@ def _layer_fwd(xt, segs, sc_x, sh_x, wp, seg_sc, seg_sh, gwi, gwb, bias_nf,
     ]
     out, ssum, ssq = pl.pallas_call(
         partial(_fwd_kernel, r=r, g=g, c=c, growth=growth, n_seg=n_seg,
-                n_outs=3),
-        grid=(b8, h // r, n_k),
+                db=db),
+        grid=(b8, h // r, n_k, n_d),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -601,7 +640,7 @@ def _engine_impl(dims, x, gammas, betas, kernels, biases):
 # backward kernel K1: dx / dseg / BN sums
 
 
-def _bwd1_kernel(*refs, r, g, c, growth, n_seg, n_k):
+def _bwd1_kernel(*refs, r, g, c, growth, n_seg, n_k, db):
     nf = DELTA * growth
     (gy_top, gy_mid, gy_bot, sj_top, sj_mid, sj_bot, c1j, c2j,
      xt_mid, sc_x, sh_x, wt, wtb) = refs[:13]
@@ -628,13 +667,17 @@ def _bwd1_kernel(*refs, r, g, c, growth, n_seg, n_k):
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
     k = pl.program_id(2)
+    d = pl.program_id(3)
+    n_d = pl.num_programs(3)
     dt = gy_mid.dtype
     m = r * g * DELTA
     f32 = jnp.float32
 
-    first = jnp.logical_and(jnp.logical_and(i == 0, t == 0), k == 0)
-    last = jnp.logical_and(jnp.logical_and(i == b8 - 1, t == n_t - 1),
-                           k == n_k - 1)
+    kd0 = jnp.logical_and(k == 0, d == 0)
+    first = jnp.logical_and(jnp.logical_and(i == 0, t == 0), kd0)
+    last = jnp.logical_and(
+        jnp.logical_and(i == b8 - 1, t == n_t - 1),
+        jnp.logical_and(k == n_k - 1, d == n_d - 1))
 
     @pl.when(first)
     def _():
@@ -642,7 +685,7 @@ def _bwd1_kernel(*refs, r, g, c, growth, n_seg, n_k):
         s_dss[...] = jnp.zeros_like(s_dss)
         s_db[...] = jnp.zeros_like(s_db)
 
-    @pl.when(k == 0)
+    @pl.when(kd0)
     def _():
         c1 = c1j[0].astype(f32)
         c2 = c2j[0].astype(f32)
@@ -687,32 +730,60 @@ def _bwd1_kernel(*refs, r, g, c, growth, n_seg, n_k):
                 s_dss[s, 0] = s_dss[s, 0] + jnp.sum(dpre * svf, axis=(0, 1, 2))
                 s_dss[s, 1] = s_dss[s, 1] + jnp.sum(dpre, axis=(0, 1, 2))
 
-    # x part: every k chunk (purely parallel in k)
+    # x part: every (k, d) step (both axes purely parallel). The two
+    # cross-group boundary terms fire only on the edge d-steps; they are
+    # additively separable through the ReLU mask (dpre = mask * da), so
+    # pl.when adds their masked contribution onto the already-written
+    # gx_out / s_dsx — same math, two bf16 roundings on positions 0 and
+    # DELTA-1 instead of one.
     scale = sc_x[0].astype(f32)
     scale_dt = sc_x[0].astype(dt)
     shift_dt = sh_x[0].astype(dt)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, CK), 3)
     valid = lane < (c - k * CK)
-    for d in range(DELTA):
-        da = jnp.zeros((m, CK), f32)
-        for ky in range(3):
-            da = da + jnp.dot(gys[2 - ky:2 - ky + r].reshape(m, nf),
-                              wt[d, ky], preferred_element_type=f32)
-        if d == 0:
-            for ky in range(3):
-                da = da + jnp.dot(gyl[2 - ky:2 - ky + r].reshape(m, nf),
-                                  wtb[0, ky], preferred_element_type=f32)
-        if d == DELTA - 1:
-            for ky in range(3):
-                da = da + jnp.dot(gyr[2 - ky:2 - ky + r].reshape(m, nf),
-                                  wtb[1, ky], preferred_element_type=f32)
-        da = da.reshape(r, g, DELTA, CK)
-        xv = xt_mid[0, d]
+
+    def masked(xv, da):
         a = jnp.maximum(xv.astype(dt) * scale_dt + shift_dt,
                         jnp.zeros((), dt))
         a = jnp.where(valid, a, jnp.zeros((), dt))
-        dpre = jnp.where(a.astype(f32) > 0, da, jnp.zeros((), f32))
-        gx_out[0, d] = (gx_in[0, d].astype(f32) + dpre * scale).astype(dt)
+        return jnp.where(a.astype(f32) > 0, da, jnp.zeros((), f32))
+
+    for dd in range(db):
+        da = jnp.zeros((m, CK), f32)
+        for ky in range(3):
+            da = da + jnp.dot(gys[2 - ky:2 - ky + r].reshape(m, nf),
+                              wt[dd, ky], preferred_element_type=f32)
+        da = da.reshape(r, g, DELTA, CK)
+        xv = xt_mid[0, dd]
+        dpre = masked(xv, da)
+        gx_out[0, dd] = (gx_in[0, dd].astype(f32) + dpre * scale).astype(dt)
+        xvf = jnp.where(valid, xv.astype(f32), jnp.zeros((), f32))
+        s_dsx[k, 0] = s_dsx[k, 0] + jnp.sum(dpre * xvf, axis=(0, 1, 2))
+        s_dsx[k, 1] = s_dsx[k, 1] + jnp.sum(dpre, axis=(0, 1, 2))
+
+    @pl.when(d == 0)  # global position 0: prev-group tap (wtb slot 0)
+    def _():
+        da = jnp.zeros((m, CK), f32)
+        for ky in range(3):
+            da = da + jnp.dot(gyl[2 - ky:2 - ky + r].reshape(m, nf),
+                              wtb[0, ky], preferred_element_type=f32)
+        xv = xt_mid[0, 0]
+        dpre = masked(xv, da.reshape(r, g, DELTA, CK))
+        gx_out[0, 0] = (gx_out[0, 0].astype(f32) + dpre * scale).astype(dt)
+        xvf = jnp.where(valid, xv.astype(f32), jnp.zeros((), f32))
+        s_dsx[k, 0] = s_dsx[k, 0] + jnp.sum(dpre * xvf, axis=(0, 1, 2))
+        s_dsx[k, 1] = s_dsx[k, 1] + jnp.sum(dpre, axis=(0, 1, 2))
+
+    @pl.when(d == n_d - 1)  # global position DELTA-1: next-group tap
+    def _():
+        da = jnp.zeros((m, CK), f32)
+        for ky in range(3):
+            da = da + jnp.dot(gyr[2 - ky:2 - ky + r].reshape(m, nf),
+                              wtb[1, ky], preferred_element_type=f32)
+        xv = xt_mid[0, db - 1]
+        dpre = masked(xv, da.reshape(r, g, DELTA, CK))
+        gx_out[0, db - 1] = (gx_out[0, db - 1].astype(f32)
+                             + dpre * scale).astype(dt)
         xvf = jnp.where(valid, xv.astype(f32), jnp.zeros((), f32))
         s_dsx[k, 0] = s_dsx[k, 0] + jnp.sum(dpre * xvf, axis=(0, 1, 2))
         s_dsx[k, 1] = s_dsx[k, 1] + jnp.sum(dpre, axis=(0, 1, 2))
@@ -733,41 +804,43 @@ def _layer_bwd1(xt, segs, seg_j, gy, gx_acc, gseg_accs, sc_x, sh_x,
     nf = DELTA * growth
     n_seg = len(segs)
     n_k = _ceil(c, CK)
-    r = _rows_bwd1(h, g, n_seg, growth, xt.dtype.itemsize)
+    r, db = _rows_bwd1(h, g, n_seg, growth, xt.dtype.itemsize)
+    n_d = DELTA // db
 
     def seg_top_spec():
         return pl.BlockSpec((1, 1, g, DELTA, nf),
-                            lambda i, t, k: (i, jnp.maximum(t * r - 1, 0),
-                                             0, 0, 0),
+                            lambda i, t, k, d: (i, jnp.maximum(t * r - 1, 0),
+                                                0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def seg_mid_spec():
         return pl.BlockSpec((1, r, g, DELTA, nf),
-                            lambda i, t, k: (i, t, 0, 0, 0),
+                            lambda i, t, k, d: (i, t, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def seg_bot_spec():
         return pl.BlockSpec((1, 1, g, DELTA, nf),
-                            lambda i, t, k: (i, jnp.minimum(t * r + r, h - 1),
-                                             0, 0, 0),
+                            lambda i, t, k, d: (i, jnp.minimum(t * r + r,
+                                                               h - 1),
+                                                0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    vec_spec = pl.BlockSpec((1, nf), lambda i, t, k: (0, 0),
+    vec_spec = pl.BlockSpec((1, nf), lambda i, t, k, d: (0, 0),
                             memory_space=pltpu.VMEM)
     in_specs = [seg_top_spec(), seg_mid_spec(), seg_bot_spec(),
                 seg_top_spec(), seg_mid_spec(), seg_bot_spec(),
                 vec_spec, vec_spec,
-                pl.BlockSpec((1, DELTA, r, g, DELTA, CK),
-                             lambda i, t, k: (i, 0, t, 0, 0, k),
+                pl.BlockSpec((1, db, r, g, DELTA, CK),
+                             lambda i, t, k, d: (i, d, t, 0, 0, k),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, CK), lambda i, t, k: (0, k),
+                pl.BlockSpec((1, CK), lambda i, t, k, d: (0, k),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, CK), lambda i, t, k: (0, k),
+                pl.BlockSpec((1, CK), lambda i, t, k, d: (0, k),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((DELTA, 3, nf, CK),
-                             lambda i, t, k: (0, 0, 0, k),
+                pl.BlockSpec((db, 3, nf, CK),
+                             lambda i, t, k, d: (d, 0, 0, k),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, 3, nf, CK), lambda i, t, k: (0, 0, 0, k),
+                pl.BlockSpec((2, 3, nf, CK), lambda i, t, k, d: (0, 0, 0, k),
                              memory_space=pltpu.VMEM)]
     operands = [gy, gy, gy, seg_j, seg_j, seg_j, c1j, c2j, xt, sc_x, sh_x,
                 wt, wtb]
@@ -776,20 +849,20 @@ def _layer_bwd1(xt, segs, seg_j, gy, gx_acc, gseg_accs, sc_x, sh_x,
         operands.append(segs[s])
     if n_seg:
         in_specs += [
-            pl.BlockSpec((n_seg, nf), lambda i, t, k: (0, 0),
+            pl.BlockSpec((n_seg, nf), lambda i, t, k, d: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_seg, nf), lambda i, t, k: (0, 0),
+            pl.BlockSpec((n_seg, nf), lambda i, t, k, d: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_seg, 3, nf, nf), lambda i, t, k: (0, 0, 0, 0),
+            pl.BlockSpec((n_seg, 3, nf, nf), lambda i, t, k, d: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_seg, 3, nf, nf), lambda i, t, k: (0, 0, 0, 0),
+            pl.BlockSpec((n_seg, 3, nf, nf), lambda i, t, k, d: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_seg, 3, nf, nf), lambda i, t, k: (0, 0, 0, 0),
+            pl.BlockSpec((n_seg, 3, nf, nf), lambda i, t, k, d: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         operands += [seg_sc, seg_sh, gwti, gwthi, gwtlo]
-    gx_spec = pl.BlockSpec((1, DELTA, r, g, DELTA, CK),
-                           lambda i, t, k: (i, 0, t, 0, 0, k),
+    gx_spec = pl.BlockSpec((1, db, r, g, DELTA, CK),
+                           lambda i, t, k, d: (i, d, t, 0, 0, k),
                            memory_space=pltpu.VMEM)
     n_in = len(operands)
     in_specs.append(gx_spec)
@@ -799,11 +872,11 @@ def _layer_bwd1(xt, segs, seg_j, gy, gx_acc, gseg_accs, sc_x, sh_x,
         operands.append(gseg_accs[s])
 
     out_specs = [gx_spec] + [seg_mid_spec() for _ in range(n_seg)] + [
-        pl.BlockSpec((n_k, 2, CK), lambda i, t, k: (0, 0, 0),
+        pl.BlockSpec((n_k, 2, CK), lambda i, t, k, d: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((max(n_seg, 1), 2, nf), lambda i, t, k: (0, 0, 0),
+        pl.BlockSpec((max(n_seg, 1), 2, nf), lambda i, t, k, d: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nf), lambda i, t, k: (0, 0),
+        pl.BlockSpec((1, nf), lambda i, t, k, d: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shapes = [_struct(gx_acc.shape, gx_acc.dtype, operands)] + [
@@ -825,8 +898,8 @@ def _layer_bwd1(xt, segs, seg_j, gy, gx_acc, gseg_accs, sc_x, sh_x,
         aliases[n_in + 1 + s] = 1 + s
     outs = pl.pallas_call(
         partial(_bwd1_kernel, r=r, g=g, c=c, growth=growth, n_seg=n_seg,
-                n_k=n_k),
-        grid=(b8, h // r, n_k),
+                n_k=n_k, db=db),
+        grid=(b8, h // r, n_k, n_d),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -844,7 +917,7 @@ def _layer_bwd1(xt, segs, seg_j, gy, gx_acc, gseg_accs, sc_x, sh_x,
 # backward kernel K2: weight gradients
 
 
-def _bwd2_kernel(*refs, r, g, c, growth, n_seg):
+def _bwd2_kernel(*refs, r, g, c, growth, n_seg, db):
     nf = DELTA * growth
     (xt_top, xt_mid, xt_bot, sc_x, sh_x, gy_mid, sj_mid, c1j, c2j) = refs[:9]
     pos = 9
@@ -855,13 +928,15 @@ def _bwd2_kernel(*refs, r, g, c, growth, n_seg):
         pos += 2
     dwp_out, dgwi_out, dgwb_out = refs[pos:pos + 3]
     pos += 3
-    shm, sh0, sh2, aseg, cb, gys_c, s_dwp, s_dgwi, s_dgwb = refs[pos:pos + 9]
+    shm, shx, aseg, cb, gys_c, s_dwp, s_dgwi, s_dgwb = refs[pos:pos + 8]
 
     k = pl.program_id(0)
     i = pl.program_id(1)
     b8 = pl.num_programs(1)
     t = pl.program_id(2)
     n_t = pl.num_programs(2)
+    d = pl.program_id(3)
+    n_d = pl.num_programs(3)
     dt = xt_mid.dtype
     f32 = jnp.float32
     m = r * g * DELTA
@@ -876,49 +951,62 @@ def _bwd2_kernel(*refs, r, g, c, growth, n_seg):
         a = jnp.maximum(v * scale + shift, jnp.zeros((), dt))
         return jnp.where(valid, a, jnp.zeros((), dt))
 
-    zero_row = jnp.zeros((DELTA, 1, g, DELTA, CK), dt)
+    zero_row = jnp.zeros((db, 1, g, DELTA, CK), dt)
     shm[:, 1:r + 1] = activate(xt_mid[0])
     shm[:, 0:1] = jnp.where(t > 0, activate(xt_top[0]), zero_row)
     shm[:, r + 1:r + 2] = jnp.where(t < n_t - 1, activate(xt_bot[0]), zero_row)
-    sh0[:, 0:1] = jnp.zeros_like(sh0[:, 0:1])
-    sh0[:, 1:g] = shm[DELTA - 1, :, 0:g - 1]
-    sh2[:, g - 1:g] = jnp.zeros_like(sh2[:, g - 1:g])
-    sh2[:, 0:g - 1] = shm[0, :, 1:g]
-
-    c1 = c1j[0].astype(f32)
-    c2 = c2j[0].astype(f32)
-    gys_c[...] = (gy_mid[0].astype(f32)
-                  + c1 + c2 * sj_mid[0].astype(f32)).astype(dt)
-    gym = gys_c[...].reshape(m, nf)
 
     tile_first = jnp.logical_and(i == 0, t == 0)
     tile_last = jnp.logical_and(i == b8 - 1, t == n_t - 1)
 
-    @pl.when(tile_first)
+    @pl.when(d == 0)
+    def _():
+        c1 = c1j[0].astype(f32)
+        c2 = c2j[0].astype(f32)
+        gys_c[...] = (gy_mid[0].astype(f32)
+                      + c1 + c2 * sj_mid[0].astype(f32)).astype(dt)
+
+    gym = gys_c[...].reshape(m, nf)
+
+    @pl.when(jnp.logical_and(tile_first, d == 0))
     def _():
         s_dwp[...] = jnp.zeros_like(s_dwp)
 
-    @pl.when(jnp.logical_and(tile_first, k == 0))
+    @pl.when(jnp.logical_and(jnp.logical_and(tile_first, k == 0), d == 0))
     def _():
         s_dgwi[...] = jnp.zeros_like(s_dgwi)
         s_dgwb[...] = jnp.zeros_like(s_dgwb)
 
     dn = (((0,), (0,)), ((), ()))
-    for ky in range(3):
-        for kxp in range(-1, DELTA + 1):
-            a0 = (kxp + DELTA) // DELTA
-            d = kxp % DELTA
-            if a0 == 0:
-                tap = sh0[ky:ky + r]
-            elif a0 == 2:
-                tap = sh2[ky:ky + r]
-            else:
-                tap = shm[d, ky:ky + r]
-            idx = ky * (DELTA + 2) + kxp + 1
+    for dd in range(db):
+        pos_d = d * db + dd
+        for ky in range(3):
+            idx = ky * (DELTA + 2) + pos_d + 1
             s_dwp[idx] = s_dwp[idx] + lax.dot_general(
-                tap.reshape(m, CK), gym, dn, preferred_element_type=f32)
+                shm[dd, ky:ky + r].reshape(m, CK), gym, dn,
+                preferred_element_type=f32)
 
-    @pl.when(k == 0)
+    @pl.when(d == n_d - 1)  # prev-group pos 7 tap (kxp = -1)
+    def _():
+        shx[:, 0:1] = jnp.zeros_like(shx[:, 0:1])
+        shx[:, 1:g] = shm[db - 1, :, 0:g - 1]
+        for ky in range(3):
+            idx = ky * (DELTA + 2)
+            s_dwp[idx] = s_dwp[idx] + lax.dot_general(
+                shx[ky:ky + r].reshape(m, CK), gym, dn,
+                preferred_element_type=f32)
+
+    @pl.when(d == 0)  # next-group pos 0 tap (kxp = DELTA)
+    def _():
+        shx[:, g - 1:g] = jnp.zeros_like(shx[:, g - 1:g])
+        shx[:, 0:g - 1] = shm[0, :, 1:g]
+        for ky in range(3):
+            idx = ky * (DELTA + 2) + DELTA + 1
+            s_dwp[idx] = s_dwp[idx] + lax.dot_general(
+                shx[ky:ky + r].reshape(m, CK), gym, dn,
+                preferred_element_type=f32)
+
+    @pl.when(jnp.logical_and(k == 0, d == 0))
     def _():
         if n_seg:
             lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, nf), 3)
@@ -952,11 +1040,11 @@ def _bwd2_kernel(*refs, r, g, c, growth, n_seg):
                         cb[ky:ky + r].reshape(m, nf), gym, dn,
                         preferred_element_type=f32)
 
-    @pl.when(tile_last)
+    @pl.when(jnp.logical_and(tile_last, d == n_d - 1))
     def _():
         dwp_out[0] = s_dwp[...]
 
-    @pl.when(jnp.logical_and(tile_last, k == 0))
+    @pl.when(jnp.logical_and(jnp.logical_and(tile_last, k == 0), d == 0))
     def _():
         dgwi_out[...] = s_dgwi[...]
         dgwb_out[...] = s_dgwb[...]
@@ -969,60 +1057,67 @@ def _layer_bwd2(xt, segs, seg_j, gy, sc_x, sh_x, seg_sc, seg_sh, c1j, c2j,
     nf = DELTA * growth
     n_seg = len(segs)
     n_k = _ceil(c, CK)
-    r = _rows_bwd2(h, g, n_seg, growth, xt.dtype.itemsize)
+    r, db = _rows_bwd2(h, g, n_seg, growth, xt.dtype.itemsize)
+    n_d = DELTA // db
     m = r * g * DELTA
 
     in_specs = [
-        pl.BlockSpec((1, DELTA, 1, g, DELTA, CK),
-                     lambda k, i, t: (i, 0, jnp.maximum(t * r - 1, 0), 0, 0, k),
+        pl.BlockSpec((1, db, 1, g, DELTA, CK),
+                     lambda k, i, t, d: (i, d, jnp.maximum(t * r - 1, 0),
+                                         0, 0, k),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, DELTA, r, g, DELTA, CK),
-                     lambda k, i, t: (i, 0, t, 0, 0, k),
+        pl.BlockSpec((1, db, r, g, DELTA, CK),
+                     lambda k, i, t, d: (i, d, t, 0, 0, k),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, DELTA, 1, g, DELTA, CK),
-                     lambda k, i, t: (i, 0, jnp.minimum(t * r + r, h - 1),
-                                      0, 0, k),
+        pl.BlockSpec((1, db, 1, g, DELTA, CK),
+                     lambda k, i, t, d: (i, d, jnp.minimum(t * r + r, h - 1),
+                                         0, 0, k),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, CK), lambda k, i, t: (0, k), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, CK), lambda k, i, t: (0, k), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, r, g, DELTA, nf), lambda k, i, t: (i, t, 0, 0, 0),
+        pl.BlockSpec((1, CK), lambda k, i, t, d: (0, k),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, r, g, DELTA, nf), lambda k, i, t: (i, t, 0, 0, 0),
+        pl.BlockSpec((1, CK), lambda k, i, t, d: (0, k),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nf), lambda k, i, t: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nf), lambda k, i, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, r, g, DELTA, nf), lambda k, i, t, d: (i, t, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, r, g, DELTA, nf), lambda k, i, t, d: (i, t, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nf), lambda k, i, t, d: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nf), lambda k, i, t, d: (0, 0),
+                     memory_space=pltpu.VMEM),
     ]
     operands = [xt, xt, xt, sc_x, sh_x, gy, seg_j, c1j, c2j]
     for s in range(n_seg):
         in_specs += [
             pl.BlockSpec((1, 1, g, DELTA, nf),
-                         lambda k, i, t: (i, jnp.maximum(t * r - 1, 0), 0, 0, 0),
+                         lambda k, i, t, d: (i, jnp.maximum(t * r - 1, 0),
+                                             0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, r, g, DELTA, nf),
-                         lambda k, i, t: (i, t, 0, 0, 0),
+                         lambda k, i, t, d: (i, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, g, DELTA, nf),
-                         lambda k, i, t: (i, jnp.minimum(t * r + r, h - 1),
-                                          0, 0, 0),
+                         lambda k, i, t, d: (i, jnp.minimum(t * r + r, h - 1),
+                                             0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         operands += [segs[s], segs[s], segs[s]]
     if n_seg:
         in_specs += [
-            pl.BlockSpec((n_seg, nf), lambda k, i, t: (0, 0),
+            pl.BlockSpec((n_seg, nf), lambda k, i, t, d: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_seg, nf), lambda k, i, t: (0, 0),
+            pl.BlockSpec((n_seg, nf), lambda k, i, t, d: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
         operands += [seg_sc, seg_sh]
 
     out_specs = [
-        pl.BlockSpec((1, N_TAPS, CK, nf), lambda k, i, t: (k, 0, 0, 0),
+        pl.BlockSpec((1, N_TAPS, CK, nf), lambda k, i, t, d: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((max(n_seg, 1), 3, nf, nf),
-                     lambda k, i, t: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+                     lambda k, i, t, d: (0, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((max(n_seg, 1), 3, nf, nf),
-                     lambda k, i, t: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+                     lambda k, i, t, d: (0, 0, 0, 0), memory_space=pltpu.VMEM),
     ]
     out_shapes = [
         _struct((n_k, N_TAPS, CK, nf), jnp.float32, operands),
@@ -1030,8 +1125,7 @@ def _layer_bwd2(xt, segs, seg_j, gy, sc_x, sh_x, seg_sc, seg_sh, c1j, c2j,
         _struct((max(n_seg, 1), 3, nf, nf), jnp.float32, operands),
     ]
     scratch = [
-        pltpu.VMEM((DELTA, r + 2, g, DELTA, CK), xt.dtype),
-        pltpu.VMEM((r + 2, g, DELTA, CK), xt.dtype),
+        pltpu.VMEM((db, r + 2, g, DELTA, CK), xt.dtype),
         pltpu.VMEM((r + 2, g, DELTA, CK), xt.dtype),
         pltpu.VMEM((max(n_seg, 1), r + 2, g, DELTA, nf), xt.dtype),
         pltpu.VMEM((r + 2, g, DELTA, nf), xt.dtype),
@@ -1041,8 +1135,9 @@ def _layer_bwd2(xt, segs, seg_j, gy, sc_x, sh_x, seg_sc, seg_sh, c1j, c2j,
         pltpu.VMEM((max(n_seg, 1), 3, nf, nf), jnp.float32),
     ]
     return pl.pallas_call(
-        partial(_bwd2_kernel, r=r, g=g, c=c, growth=growth, n_seg=n_seg),
-        grid=(n_k, b8, h // r),
+        partial(_bwd2_kernel, r=r, g=g, c=c, growth=growth, n_seg=n_seg,
+                db=db),
+        grid=(n_k, b8, h // r, n_d),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -1207,10 +1302,13 @@ def _engine_bwd(dims, res, cot):
         dkernels[j] = dk
         dbiases[j] = _psum(_fold_lanes(dbias_nf[0], growth), axis_name)
 
-    # final fixup: layer corrections for the x part, applied once
-    xp = from_packed_layout(xt).astype(f32)
-    dx = from_packed_layout(gx_acc).astype(f32) + c1x + c2x * xp
-    return (dx.astype(dt), tuple(dgammas), tuple(dbetas), tuple(dkernels),
+    # final fixup: layer corrections for the x part, applied once — in
+    # the PACKED layout (channel axis last, so the per-channel c1x/c2x
+    # broadcast directly) so XLA fuses convert+mul+add into one pass and
+    # the transpose back to NHWC runs on bf16, not a materialized f32 copy
+    dxp = (gx_acc.astype(f32) + c1x + c2x * xt.astype(f32)).astype(dt)
+    dx = from_packed_layout(dxp)
+    return (dx, tuple(dgammas), tuple(dbetas), tuple(dkernels),
             tuple(dbiases))
 
 

@@ -1,7 +1,11 @@
-"""Per-kernel device times of the block-engine Pallas kernels, per
-FCDenseNet57 engine-eligible block config. Times each stage (fwd layers,
-bwd1 layers, bwd2 layers, full fwd, full vjp) with a scanned loop and one
-scalar readback (axon-relay-safe, see PERF.md)."""
+"""Per-block device times of the block-engine Pallas kernels vs the XLA
+buffered path, for each FCDenseNet57 engine-eligible block config.
+
+Anti-hoist/DCE discipline follows microbench_conv.py: the scanned step
+perturbs the input with the (otherwise unused) scan element so the body
+is not loop-invariant, grads are taken w.r.t. EVERY argument, and all
+outputs fold into the scalar carry. Sync is a scalar readback.
+"""
 import sys
 import time
 
@@ -19,8 +23,8 @@ from endoscopydepthestimation_pytorch_tpu.ops.dense_block import (  # noqa: E402
 
 GROWTH, NL = 12, 4
 B = 16
+ITERS = 10
 
-# (name, c0, h, w) for the six engine-eligible FCDenseNet57 blocks @256x320
 CONFIGS = [
     ("down0", 48, 256, 320),
     ("down1", 96, 128, 160),
@@ -31,17 +35,14 @@ CONFIGS = [
 ]
 
 
-def timed(fn, *args, iters=20):
-    fn_j = jax.jit(fn)
-    out = fn_j(*args)
-    float(jnp.sum(out[0]).astype(jnp.float32)) if isinstance(out, tuple) else float(jnp.sum(out).astype(jnp.float32))
-
+def timed(step, args):
     def loop(args):
-        def body(c, _):
-            r = fn(*args)
-            r0 = r[0] if isinstance(r, tuple) else r
-            return c + jnp.sum(r0.astype(jnp.float32)), None
-        return jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=iters)[0]
+        def body(c, s):
+            out = step(s, *args)
+            return c + sum(jnp.sum(l.astype(jnp.float32))
+                           for l in jax.tree.leaves(out)), None
+        return jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                            jnp.arange(ITERS, dtype=jnp.float32))[0]
 
     loop_j = jax.jit(loop)
     float(loop_j(args))
@@ -49,13 +50,13 @@ def timed(fn, *args, iters=20):
     for _ in range(3):
         t0 = time.perf_counter()
         float(loop_j(args))
-        best = min(best, (time.perf_counter() - t0) / iters)
+        best = min(best, (time.perf_counter() - t0) / ITERS)
     return best * 1e3
 
 
 def main():
     rng = np.random.RandomState(0)
-    total_f = total_b = total_ref = 0.0
+    totals = [0.0, 0.0, 0.0, 0.0]
     for name, c0, h, w in CONFIGS:
         x = jnp.asarray(rng.randn(B, h, w, c0).astype(np.float32)).astype(jnp.bfloat16)
         gammas = tuple(jnp.asarray(rng.rand(c0 + j * GROWTH).astype(np.float32) + 0.5) for j in range(NL))
@@ -63,32 +64,37 @@ def main():
         kernels = tuple(jnp.asarray(rng.randn(3, 3, c0 + j * GROWTH, GROWTH).astype(np.float32) * .1) for j in range(NL))
         biases = tuple(jnp.asarray(rng.randn(GROWTH).astype(np.float32) * .1) for j in range(NL))
         dims = (GROWTH, NL, 1e-5, None)
+        args = (x, gammas, betas, kernels, biases)
 
-        def fwd(x, g, bt, k, bi):
-            return be.block_engine_apply(dims, x, g, bt, k, bi)
+        def fwd_of(apply_fn):
+            def step(s, x, g, bt, k, bi):
+                xx = x * (1 + 0 * s).astype(x.dtype)
+                return apply_fn(dims, xx, g, bt, k, bi)
+            return step
 
-        def vjp(x, g, bt, k, bi):
-            def loss(*a):
-                buf, mu, m2 = be.block_engine_apply(dims, *a)
-                return jnp.sum(buf.astype(jnp.float32))
-            return jax.grad(loss, argnums=0)(x, g, bt, k, bi)
+        def vjp_of(apply_fn):
+            def step(s, x, g, bt, k, bi):
+                xx = x * (1 + 0 * s).astype(x.dtype)
 
-        def ref_vjp(x, g, bt, k, bi):
-            def loss(*a):
-                buf, mu, m2 = dense_block_apply(dims, *a)
-                return jnp.sum(buf.astype(jnp.float32))
-            return jax.grad(loss, argnums=0)(x, g, bt, k, bi)
+                def loss(*a):
+                    buf, mu, m2 = apply_fn(dims, *a)
+                    return (jnp.sum(buf.astype(jnp.float32))
+                            + jnp.sum(mu) + jnp.sum(m2))
+                return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+                    xx, g, bt, k, bi)
+            return step
 
-        tf = timed(fwd, x, gammas, betas, kernels, biases)
-        tv = timed(vjp, x, gammas, betas, kernels, biases)
-        tr = timed(ref_vjp, x, gammas, betas, kernels, biases)
-        total_f += tf
-        total_b += tv
-        total_ref += tr
-        print(f"{name:6s} c0={c0:3d} {h}x{w}: engine fwd {tf:6.2f}  "
-              f"engine fwd+bwd {tv:6.2f}  xla-buffered fwd+bwd {tr:6.2f} ms")
-    print(f"TOTAL  engine fwd {total_f:.1f}  fwd+bwd {total_b:.1f}  "
-          f"xla {total_ref:.1f} ms")
+        res = [timed(fwd_of(be.block_engine_apply), args),
+               timed(vjp_of(be.block_engine_apply), args),
+               timed(fwd_of(dense_block_apply), args),
+               timed(vjp_of(dense_block_apply), args)]
+        for i, v in enumerate(res):
+            totals[i] += v
+        print(f"{name:6s} c0={c0:3d} {h}x{w}: engine fwd {res[0]:6.2f} "
+              f"fwd+bwd {res[1]:6.2f} | xla fwd {res[2]:6.2f} "
+              f"fwd+bwd {res[3]:6.2f} ms")
+    print(f"TOTAL: engine fwd {totals[0]:.1f} fwd+bwd {totals[1]:.1f} | "
+          f"xla fwd {totals[2]:.1f} fwd+bwd {totals[3]:.1f} ms")
 
 
 if __name__ == "__main__":
