@@ -570,12 +570,22 @@ class FCDenseNet(nn.Module):
     # packed-96 side tensors), BN stats are kernel byproducts, and the
     # backward (dx/dseg/dW/BN sums) also runs in Pallas
     # (ops/block_engine.py). The default engine as of round 3.
+    block_engine_levels: Any = None  # optional collection of block names
+    # (e.g. ("denseBlocksDown0", "denseBlocksUp4")) restricting the engine
+    # to those levels; None = every engine-eligible block. Lets the model
+    # mix the Pallas engine (wins at some levels) with XLA blocks
+    # (wins at others) — scanned by scripts/ab_engine_levels.py.
     segmented_last_up: bool = False  # segment-decompose ONLY the final
     # (full-resolution, non-upsample) up block: its incremental concats
     # are the single most expensive op of the step (20.2 ms of the 180,
     # round-2 profile) while its input stays one whole-K tensor, so the
     # lane-tax penalty that makes whole-model segmentation lose is limited
     # to the small growing new-features tensor.
+
+    def _engine_at(self, name: str) -> bool:
+        """Per-level engine gate (see ``block_engine_levels``)."""
+        return self.block_engine and (self.block_engine_levels is None
+                                      or name in self.block_engine_levels)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -593,7 +603,8 @@ class FCDenseNet(nn.Module):
                             fused=self.fused, segmented=self.segmented,
                             buffered=self.buffered,
                             block_packed=self.block_packed,
-                            block_engine=self.block_engine,
+                            block_engine=self._engine_at(
+                                f"denseBlocksDown{i}"),
                             with_stats=not self.segmented,
                             name=f"denseBlocksDown{i}")(out, train)
             out, bstats = res if isinstance(res, tuple) else (res, None)
@@ -607,7 +618,7 @@ class FCDenseNet(nn.Module):
                         axis_name=self.axis_name, fused=self.fused,
                         segmented=self.segmented, buffered=self.buffered,
                         block_packed=self.block_packed,
-                            block_engine=self.block_engine,
+                            block_engine=self._engine_at("bottleneck"),
                         name="bottleneck")(out, train)
 
         for i, n in enumerate(self.up_blocks):
@@ -625,7 +636,8 @@ class FCDenseNet(nn.Module):
                                        (last and self.segmented_last_up)),
                             buffered=self.buffered,
                             block_packed=self.block_packed,
-                            block_engine=self.block_engine,
+                            block_engine=self._engine_at(
+                                f"denseBlocksUp{i}"),
                             name=f"denseBlocksUp{i}")(out, train)
 
         if isinstance(out, (list, tuple)):
