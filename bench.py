@@ -71,7 +71,13 @@ def main():
     # fused=False: the Pallas dense-conv engine beats ISOLATED
     # BN+ReLU+conv by 1.3-2.2x but loses to XLA's cross-op fusion inside
     # the full model (232 vs 198 ms steps measured) — see PERF.md.
-    model = FCDenseNet57(n_classes=1, dtype=jnp.bfloat16)
+    # segmented_last_up: segment-decompose only the final full-resolution
+    # up block, whose materialized concat is the single largest op of the
+    # step (20.2 ms at 168 GB/s, round-3 fusion table) — measured
+    # 172.3 vs 176.4 ms/step (round 3); the whole-model segmented mode
+    # still loses (PERF.md result 2).
+    model = FCDenseNet57(n_classes=1, dtype=jnp.bfloat16,
+                         segmented_last_up=True)
     config = training.TrainConfig(lr_step_size=1000)
     state = training.create_train_state(model, jax.random.PRNGKey(0),
                                         (1, H, W, 3), config)

@@ -184,3 +184,18 @@ def test_reinitialize_params_schemes(flax_57):
     k = np.asarray(new["denseBlocksDown0"]["layers0"]["conv"]["kernel"])
     fan_in = k.shape[0] * k.shape[1] * k.shape[2]
     assert abs(float(np.std(k)) - np.sqrt(2.0 / fan_in)) < 0.02
+
+
+def test_segmented_last_up_matches_default(flax_57):
+    """segmented_last_up (the shipped training default as of round 3)
+    virtualizes the final up block's concat; same parameter tree, same
+    math — forward must agree with the materialized block in f32."""
+    model, variables = flax_57
+    seg_model = FCDenseNet57(n_classes=1, segmented_last_up=True)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 3))
+    y0, u0 = jax.jit(lambda v, x: model.apply(
+        v, x, train=True, mutable=["batch_stats"]))(variables, x)
+    y1, u1 = jax.jit(lambda v, x: seg_model.apply(
+        v, x, train=True, mutable=["batch_stats"]))(variables, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-5, atol=2e-5)

@@ -106,6 +106,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the Pallas fused dense-conv engine (wins on "
                         "isolated layers; measured slower end-to-end than "
                         "XLA's cross-op fusion — see PERF.md)")
+    p.add_argument("--segmented_last_up", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="segment-decompose only the final full-resolution "
+                        "up block (its materialized concat is the biggest "
+                        "single op of the step); measured 172.3 vs 176.4 "
+                        "ms/step on v5e — PERF.md round 3. "
+                        "--no-segmented_last_up restores the materialized "
+                        "block")
     p.add_argument("--rgb_mode", type=str, default="rgb")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler device trace of epoch 0 here")
@@ -170,7 +178,8 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     fused = args.fused_convs and jax.default_backend() == "tpu"
     model = MODELS[args.architecture](n_classes=1, dtype=dtype,
-                                      remat=args.remat, fused=fused)
+                                      remat=args.remat, fused=fused,
+                                      segmented_last_up=args.segmented_last_up)
     config = training.TrainConfig(
         sfl_weight=args.sfl_weight, dcl_weight=args.dcl_weight,
         max_lr=args.max_lr, min_lr=args.min_lr, lr_step_size=args.num_iter,
