@@ -575,12 +575,20 @@ class FCDenseNet(nn.Module):
     # to those levels; None = every engine-eligible block. Lets the model
     # mix the Pallas engine (wins at some levels) with XLA blocks
     # (wins at others) — scanned by scripts/ab_engine_levels.py.
+    segmented_levels: Any = None  # optional collection of block names to
+    # segment-decompose individually (generalizes segmented_last_up);
+    # scanned per level by scripts/ab_segmented_levels.py
     segmented_last_up: bool = False  # segment-decompose ONLY the final
     # (full-resolution, non-upsample) up block: its incremental concats
     # are the single most expensive op of the step (20.2 ms of the 180,
     # round-2 profile) while its input stays one whole-K tensor, so the
     # lane-tax penalty that makes whole-model segmentation lose is limited
     # to the small growing new-features tensor.
+
+    def _segmented_at(self, name: str) -> bool:
+        """Per-level segment-decomposition gate (``segmented_levels``)."""
+        return self.segmented or (self.segmented_levels is not None
+                                  and name in self.segmented_levels)
 
     def _engine_at(self, name: str) -> bool:
         """Per-level engine gate (see ``block_engine_levels``)."""
@@ -600,12 +608,15 @@ class FCDenseNet(nn.Module):
         for i, n in enumerate(self.down_blocks):
             res = block_cls(self.growth_rate, n, dtype=self.dtype,
                             packed=self.packed, axis_name=self.axis_name,
-                            fused=self.fused, segmented=self.segmented,
+                            fused=self.fused,
+                            segmented=self._segmented_at(
+                                f"denseBlocksDown{i}"),
                             buffered=self.buffered,
                             block_packed=self.block_packed,
                             block_engine=self._engine_at(
                                 f"denseBlocksDown{i}"),
-                            with_stats=not self.segmented,
+                            with_stats=not self._segmented_at(
+                                f"denseBlocksDown{i}"),
                             name=f"denseBlocksDown{i}")(out, train)
             out, bstats = res if isinstance(res, tuple) else (res, None)
             skips.append(out)
@@ -616,9 +627,10 @@ class FCDenseNet(nn.Module):
         out = block_cls(self.growth_rate, self.bottleneck_layers, upsample=True,
                         dtype=self.dtype, packed=self.packed,
                         axis_name=self.axis_name, fused=self.fused,
-                        segmented=self.segmented, buffered=self.buffered,
+                        segmented=self._segmented_at("bottleneck"),
+                        buffered=self.buffered,
                         block_packed=self.block_packed,
-                            block_engine=self._engine_at("bottleneck"),
+                        block_engine=self._engine_at("bottleneck"),
                         name="bottleneck")(out, train)
 
         for i, n in enumerate(self.up_blocks):
@@ -632,7 +644,8 @@ class FCDenseNet(nn.Module):
                             upsample=not last,
                             dtype=self.dtype, packed=self.packed,
                             axis_name=self.axis_name, fused=self.fused,
-                            segmented=(self.segmented or
+                            segmented=(self._segmented_at(
+                                           f"denseBlocksUp{i}") or
                                        (last and self.segmented_last_up)),
                             buffered=self.buffered,
                             block_packed=self.block_packed,
