@@ -116,6 +116,25 @@ def stack_panels(panels: List[np.ndarray]) -> np.ndarray:
     return np.vstack(padded)
 
 
+def write_event(log, step: int, **data) -> None:
+    """Append one JSON event line ``{..., step, dt}`` to an open text file.
+
+    Repaired port of the reference's ``write_event`` (utils.py:817-822),
+    which is broken there (py2 leftovers: undefined ``unicode``/``json``
+    and ``datetime.time()`` never carries the current time). Same record
+    layout — sorted keys, ``step`` and an ISO ``dt`` stamp — with the
+    intended wall-clock time. ``MetricWriter`` is the structured superset
+    used by the drivers; this stays for 1:1 API parity.
+    """
+    import datetime as _dt
+
+    data["step"] = step
+    data["dt"] = _dt.datetime.now().time().isoformat()
+    log.write(json.dumps(data, sort_keys=True))
+    log.write("\n")
+    log.flush()
+
+
 class MetricWriter:
     """Scalar + image logging: tensorboardX if importable, JSONL always.
 

@@ -248,3 +248,22 @@ def test_network_validation_feeds_robust_selection(tmp_path):
                                 vector, [v + 1.0 for v in vector])
     assert list(best) == vector           # better -> adopted
     assert any(s.endswith("best") for s in saved)
+
+
+def test_write_event_round_trip(tmp_path):
+    """Repaired reference write_event (utils.py:817-822): JSON event lines
+    with step + ISO timestamp, sorted keys, flushed per call."""
+    import json
+
+    from endoscopydepthestimation_pytorch_tpu.utils.visualization import write_event
+
+    p = tmp_path / "events.log"
+    with open(p, "w") as log:
+        write_event(log, 1, loss=0.5)
+        write_event(log, 2, loss=0.25, phase="val")
+    lines = p.read_text().strip().splitlines()
+    assert len(lines) == 2
+    recs = [json.loads(ln) for ln in lines]
+    assert recs[0]["step"] == 1 and recs[0]["loss"] == 0.5
+    assert recs[1]["phase"] == "val" and "dt" in recs[1]
+    assert list(recs[0]) == sorted(recs[0])
