@@ -591,7 +591,6 @@ def _engine_impl(dims, x, gammas, betas, kernels, biases):
     b, h, w, c0 = x.shape
     dt = x.dtype
     nf = DELTA * growth
-    g = w // DELTA
 
     xt = to_packed_layout(x)
     xf = x.astype(jnp.float32)
@@ -1059,7 +1058,6 @@ def _layer_bwd2(xt, segs, seg_j, gy, sc_x, sh_x, seg_sc, seg_sh, c1j, c2j,
     n_k = _ceil(c, CK)
     r, db = _rows_bwd2(h, g, n_seg, growth, xt.dtype.itemsize)
     n_d = DELTA // db
-    m = r * g * DELTA
 
     in_specs = [
         pl.BlockSpec((1, db, 1, g, DELTA, CK),
