@@ -199,3 +199,27 @@ def test_engine_growth12_wide_input():
     v1, g1 = run(eng_blk)
     np.testing.assert_allclose(float(v1), float(v0), rtol=1e-4, atol=1e-4)
     _grads_close(g0["params"], g1["params"], 5e-4, 5e-4)
+
+
+def test_engine_growth16_nf128():
+    """growth 16 (NF = 8*16 = 128 lanes — the FCDenseNet67/103 config,
+    exactly one full lane tile per packed segment, a different Mosaic
+    tiling regime than NF=96) with 3 layers: forward + full-grad parity."""
+    key = jax.random.PRNGKey(8)
+    x = jax.random.normal(jax.random.PRNGKey(9), (8, 8, 16, 10), jnp.float32)
+    ref_blk = DenseBlock(growth_rate=16, n_layers=3, upsample=False)
+    eng_blk = DenseBlock(growth_rate=16, n_layers=3, upsample=False,
+                         block_engine=True)
+    variables = jax.jit(ref_blk.init, static_argnums=2)(key, x, True)
+
+    def run(blk):
+        def loss(v):
+            out, updates = blk.apply(v, x, True, mutable=["batch_stats"])
+            return jnp.sum(jnp.sin(out)), updates
+        (val, updates), grads = jax.value_and_grad(loss, has_aux=True)(variables)
+        return val, grads
+
+    v0, g0 = run(ref_blk)
+    v1, g1 = run(eng_blk)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-4, atol=1e-4)
+    _grads_close(g0["params"], g1["params"], 5e-4, 5e-4)

@@ -106,6 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the Pallas fused dense-conv engine (wins on "
                         "isolated layers; measured slower end-to-end than "
                         "XLA's cross-op fusion — see PERF.md)")
+    p.add_argument("--block_engine", action="store_true",
+                   help="whole-block Pallas dense-block engine (forward AND "
+                        "backward in Pallas, ops/block_engine.py). Measured "
+                        "at parity with the XLA default on v5e (PERF.md "
+                        "round 3) — kept for A/B and for hardware where "
+                        "the tradeoff differs")
     p.add_argument("--segmented_last_up", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="segment-decompose only the final full-resolution "
@@ -179,6 +185,7 @@ def main(argv=None):
     fused = args.fused_convs and jax.default_backend() == "tpu"
     model = MODELS[args.architecture](n_classes=1, dtype=dtype,
                                       remat=args.remat, fused=fused,
+                                      block_engine=args.block_engine,
                                       segmented_last_up=args.segmented_last_up)
     config = training.TrainConfig(
         sfl_weight=args.sfl_weight, dcl_weight=args.dcl_weight,
