@@ -61,7 +61,33 @@ def synthetic_batch(b, h, w):
     }
 
 
+def wait_for_device(attempts: int = 8, probe_timeout: int = 120,
+                    backoff_s: int = 60) -> None:
+    """Block until the accelerator answers a trivial computation.
+
+    The axon relay has been observed to wedge or drop out for tens of
+    minutes (CLAUDE.md); a hung relay makes jax ops block forever, so the
+    probe runs in a SUBPROCESS with a timeout. Bounded at ~15 min total,
+    then proceeds anyway (a real failure will surface in the bench body).
+    """
+    import subprocess
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float(jnp.sum(jnp.ones((8, 128)))))")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"bench: device probe {i + 1}/{attempts} failed; "
+              f"retrying in {backoff_s}s", file=sys.stderr)
+        time.sleep(backoff_s)
+
+
 def main():
+    wait_for_device()
     from endoscopydepthestimation_pytorch_tpu import training
     from endoscopydepthestimation_pytorch_tpu.models import FCDenseNet57
 
