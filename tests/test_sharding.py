@@ -349,3 +349,33 @@ def test_device_prefetch_order_and_errors(mesh):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="loader died"):
         list(device_prefetch(bad(), mesh))
+
+
+def test_shardmap_segmented_last_up_matches_jit(mesh):
+    """The SHIPPED training config (segmented_last_up=True, train.py
+    default) under shard_map: the final up block's per-segment BN
+    statistics must be pmean'd across shards (BNFold) — parity with the
+    jit+shardings path covers exactly that reduction."""
+    from endoscopydepthestimation_pytorch_tpu.parallel import (
+        make_shardmap_train_step)
+    config = training.TrainConfig(lr_step_size=50)
+    model = FCDenseNet57(n_classes=1, segmented_last_up=True)
+    state = training.create_train_state(model, jax.random.PRNGKey(0),
+                                        (1, 32, 32, 3), config)
+    batch = _synthetic_batch(batch=8, h=32, w=32)
+
+    jit_fn = make_parallel_train_step(config, mesh)
+    s_jit, m_jit = jit_fn(replicate_state(jax.tree.map(jnp.array, state), mesh),
+                          shard_batch(batch, mesh), jnp.asarray(0.1))
+
+    sm_fn = make_shardmap_train_step(config, mesh, model)
+    s_sm, m_sm = sm_fn(replicate_state(jax.tree.map(jnp.array, state), mesh),
+                       shard_batch(batch, mesh), jnp.asarray(0.1))
+
+    assert float(m_jit["loss"]) == pytest.approx(float(m_sm["loss"]), rel=1e-5)
+    assert float(m_jit["grad_norm"]) == pytest.approx(
+        float(m_sm["grad_norm"]), rel=1e-3)
+    for a, b in zip(jax.tree.leaves(s_jit.batch_stats),
+                    jax.tree.leaves(s_sm.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
