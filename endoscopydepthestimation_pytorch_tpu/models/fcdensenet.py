@@ -319,15 +319,26 @@ class DenseBlock(nn.Module):
     # batches, deep 103-style blocks)
     with_stats: bool = False  # non-upsample blocks also return the output
     # concat's per-channel (mean, mean_sq) so TransitionDown can reuse them
+    act8: bool = False  # fp8 (e4m3) compressed-activation backward
+    # (ops/act8.py): the forward is the EXACT materialized block (values,
+    # loss, BN stats, inference all bit-identical to the default path); a
+    # block-level custom VJP saves only an e4m3 copy of the block input
+    # and replays the block from it in the backward, so the saved
+    # residuals shrink to half-width at one-channel-set size. Gradients
+    # (only) deviate within a per-block-contained quantization envelope —
+    # outside strict reference parity, own accuracy study in
+    # tests/test_act8.py
 
     def _block_vjp_path(self, x, train: bool):
-        """Shared plumbing of the two block-level custom-VJP modes
+        """Shared plumbing of the block-level custom-VJP modes
         (``buffered``: XLA append buffer; ``block_packed``: Pallas packed
-        forward). Returns None when the gate does not apply."""
+        forward; ``act8``: exact forward + fp8-compressed backward).
+        Returns None when the gate does not apply."""
         if not (train and not self.fused and not self.segmented
                 and not self.is_initializing()):
             return None
-        if not (self.buffered or self.block_packed or self.block_engine):
+        if not (self.buffered or self.block_packed or self.block_engine
+                or self.act8):
             return None
         if isinstance(x, (list, tuple)):
             x = jnp.concatenate([s.astype(self.dtype) for s in x], axis=-1)
@@ -336,7 +347,7 @@ class DenseBlock(nn.Module):
         from ..ops.block_engine import supported as engine_ok
         use_engine = self.block_engine and engine_ok(b, hh, ww, self.n_layers)
         if self.block_engine and not use_engine and not (
-                self.buffered or self.block_packed):
+                self.buffered or self.block_packed or self.act8):
             # engine shape gate rejected (tiny levels, ragged batches,
             # per-shard slivers) — fall back to the materialized path
             return None
@@ -357,6 +368,8 @@ class DenseBlock(nn.Module):
             from ..ops.block_engine import block_engine_apply as apply_fn
         elif self.block_packed and b % 8 == 0 and ww % 8 == 0:
             from ..ops.dense_block_packed import packed_block_apply as apply_fn
+        elif self.act8:
+            from ..ops.act8 import act8_block_apply as apply_fn
         else:
             from ..ops.dense_block import dense_block_apply as apply_fn
         buf, mu, m2 = apply_fn(
@@ -438,12 +451,17 @@ class Conv1x1(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, segments, pre=None):
-        cin = sum(s.shape[-1] for s in segments)
+    def __call__(self, segments, pre=None, raw: bool = False):
+        cin = (segments if isinstance(segments, int)
+               else sum(s.shape[-1] for s in segments))
         kernel = self.param("kernel", kaiming_normal,
                             (1, 1, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
+        if raw:
+            # parameter access for the act8 compressed transitions — the
+            # tree ({kernel: (1,1,Cin,Cout), bias}) is nn.Conv's exactly
+            return kernel, bias
         y = None
         off = 0
         for seg in segments:
@@ -463,12 +481,27 @@ class Conv1x1(nn.Module):
 class TransitionDown(nn.Module):
     """BN -> ReLU -> 1x1 conv (same channels) -> 2x2 maxpool.
     Reference models.py:56-67. Accepts a dense block's segment list and
-    evaluates BN/conv segment-decomposed (concat never materialized)."""
+    evaluates BN/conv segment-decomposed (concat never materialized).
+
+    ``act8=True`` (train mode): the body runs through
+    ``ops.act8.compressed_call`` so the backward replays from an e4m3
+    copy of the input — the input here is the producing block's OUTPUT
+    concat, the largest tensor of its level, otherwise saved in bf16."""
     dtype: Dtype = jnp.float32
     axis_name: Any = None
+    act8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool, stats=None):
+        if (self.act8 and stats is not None and train
+                and not self.is_initializing()):
+            from ..ops.act8 import compressed_call, td_apply
+            fold = BNFold(axis_name=self.axis_name, name="norm")(
+                x.shape[-1], train, stats=stats)
+            kernel, bias = Conv1x1(x.shape[-1], dtype=self.dtype,
+                                   name="conv")(x.shape[-1], raw=True)
+            return compressed_call(td_apply, x.astype(self.dtype),
+                                   fold[0], fold[1], kernel, bias)
         if isinstance(x, (list, tuple)):
             c = sum(s.shape[-1] for s in x)
             stats_list = [segment_stats(s) for s in x]
@@ -513,16 +546,29 @@ def nearest_upsample_2x(x):
 class TransitionUp(nn.Module):
     """nearest-x2 upsample -> 3x3 conv, center-crop to the skip's spatial
     size, concat [up, skip]. Reference models.py:70-80. When the skip is a
-    segment list the "concat" stays virtual: returns [up] + skip."""
+    segment list the "concat" stays virtual: returns [up] + skip.
+
+    ``act8=True`` (train mode): upsample+conv run through
+    ``ops.act8.compressed_call`` — the backward replays from an e4m3 copy
+    of ``x`` (the previous level's block output) instead of a bf16 save."""
     out_channels: int
     dtype: Dtype = jnp.float32
     packed: bool = False
+    act8: bool = False
 
     @nn.compact
-    def __call__(self, x, skip):
-        y = nearest_upsample_2x(x)
-        y = Conv3x3(self.out_channels, packed=self.packed, dtype=self.dtype,
-                    name="conv")(y)
+    def __call__(self, x, skip, train: bool = False):
+        if (self.act8 and train and not self.packed
+                and not isinstance(x, (list, tuple))
+                and not self.is_initializing()):
+            from ..ops.act8 import compressed_call, tu_apply
+            kernel, bias = Conv3x3(self.out_channels, dtype=self.dtype,
+                                   name="conv")(x.shape[-1], raw=True)
+            y = compressed_call(tu_apply, x.astype(self.dtype), kernel, bias)
+        else:
+            y = nearest_upsample_2x(x)
+            y = Conv3x3(self.out_channels, packed=self.packed,
+                        dtype=self.dtype, name="conv")(y)
         if isinstance(skip, (list, tuple)):
             y = center_crop(y, skip[0].shape[1], skip[0].shape[2])
             return [y] + list(skip)
@@ -578,6 +624,15 @@ class FCDenseNet(nn.Module):
     segmented_levels: Any = None  # optional collection of block names to
     # segment-decompose individually (generalizes segmented_last_up);
     # scanned per level by scripts/ab_segmented_levels.py
+    act8: bool = False  # fp8 (e4m3) compressed-activation backward in the
+    # dense blocks (ops/act8.py): the forward is EXACT (values, loss,
+    # inference identical to the default); each block's custom VJP saves
+    # only an e4m3 copy of the block input and replays the block from it
+    # in the backward — the saved-activation HBM bytes shrink to one
+    # half-width channel set per block (the memory lever for 512x640
+    # batches). Gradients deviate within a per-block quantization
+    # envelope — outside strict reference numerics; accuracy study in
+    # tests/test_act8.py.
     segmented_last_up: bool = False  # segment-decompose ONLY the final
     # (full-resolution, non-upsample) up block: its incremental concats
     # are the single most expensive op of the step (20.2 ms of the 180,
@@ -599,8 +654,10 @@ class FCDenseNet(nn.Module):
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         # static_argnums=(2,) marks the `train` bool (args: self, x, train)
+        # act8 blocks manage their own saves (block-level custom VJP with
+        # fp8 residuals) — remat-wrapping them would be redundant
         block_cls = (nn.remat(DenseBlock, static_argnums=(2,))
-                     if self.remat else DenseBlock)
+                     if self.remat and not self.act8 else DenseBlock)
         out = Conv3x3(self.out_chans_first_conv, packed=self.packed,
                       dtype=self.dtype, name="firstconv")(x)
 
@@ -611,7 +668,7 @@ class FCDenseNet(nn.Module):
                             fused=self.fused,
                             segmented=self._segmented_at(
                                 f"denseBlocksDown{i}"),
-                            buffered=self.buffered,
+                            buffered=self.buffered, act8=self.act8,
                             block_packed=self.block_packed,
                             block_engine=self._engine_at(
                                 f"denseBlocksDown{i}"),
@@ -621,6 +678,7 @@ class FCDenseNet(nn.Module):
             out, bstats = res if isinstance(res, tuple) else (res, None)
             skips.append(out)
             out = TransitionDown(dtype=self.dtype, axis_name=self.axis_name,
+                                 act8=self.act8,
                                  name=f"transDownBlocks{i}")(out, train,
                                                              stats=bstats)
 
@@ -628,7 +686,7 @@ class FCDenseNet(nn.Module):
                         dtype=self.dtype, packed=self.packed,
                         axis_name=self.axis_name, fused=self.fused,
                         segmented=self._segmented_at("bottleneck"),
-                        buffered=self.buffered,
+                        buffered=self.buffered, act8=self.act8,
                         block_packed=self.block_packed,
                         block_engine=self._engine_at("bottleneck"),
                         name="bottleneck")(out, train)
@@ -638,7 +696,8 @@ class FCDenseNet(nn.Module):
             up_channels = (out.shape[-1] if not isinstance(out, (list, tuple))
                            else sum(s.shape[-1] for s in out))
             out = TransitionUp(up_channels, dtype=self.dtype, packed=self.packed,
-                               name=f"transUpBlocks{i}")(out, skip)
+                               act8=self.act8,
+                               name=f"transUpBlocks{i}")(out, skip, train)
             last = i == len(self.up_blocks) - 1
             out = block_cls(self.growth_rate, n,
                             upsample=not last,
@@ -647,7 +706,7 @@ class FCDenseNet(nn.Module):
                             segmented=(self._segmented_at(
                                            f"denseBlocksUp{i}") or
                                        (last and self.segmented_last_up)),
-                            buffered=self.buffered,
+                            buffered=self.buffered, act8=self.act8,
                             block_packed=self.block_packed,
                             block_engine=self._engine_at(
                                 f"denseBlocksUp{i}"),
@@ -656,6 +715,15 @@ class FCDenseNet(nn.Module):
         if isinstance(out, (list, tuple)):
             out = Conv1x1(self.n_classes, dtype=self.dtype,
                           name="finalConv")(list(out))
+        elif self.act8 and train and not self.is_initializing():
+            # the final conv's input is the last up block's full-res
+            # output — the single largest activation; replay its backward
+            # from an e4m3 copy like the transitions
+            from ..ops.act8 import compressed_call, conv1x1_apply
+            kernel, bias = Conv1x1(self.n_classes, dtype=self.dtype,
+                                   name="finalConv")(out.shape[-1], raw=True)
+            out = compressed_call(conv1x1_apply, out.astype(self.dtype),
+                                  kernel, bias)
         else:
             out = nn.Conv(self.n_classes, (1, 1), use_bias=True,
                           kernel_init=kaiming_normal, dtype=self.dtype,

@@ -120,6 +120,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "ms/step on v5e — PERF.md round 3. "
                         "--no-segmented_last_up restores the materialized "
                         "block")
+    p.add_argument("--act8", action="store_true",
+                   help="fp8 (e4m3) compressed-activation backward in the "
+                        "dense blocks (ops/act8.py): exact forward; each "
+                        "block saves only an e4m3 copy of its input and "
+                        "replays in the backward — the memory lever for "
+                        "large batches/resolutions. Gradients deviate "
+                        "within a per-block quantization envelope (outside "
+                        "strict reference numerics; accuracy study in "
+                        "tests/test_act8.py)")
     p.add_argument("--rgb_mode", type=str, default="rgb")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler device trace of epoch 0 here")
@@ -186,7 +195,16 @@ def main(argv=None):
     model = MODELS[args.architecture](n_classes=1, dtype=dtype,
                                       remat=args.remat, fused=fused,
                                       block_engine=args.block_engine,
-                                      segmented_last_up=args.segmented_last_up)
+                                      act8=args.act8,
+                                      # act8 compresses only the block-VJP
+                                      # (materialized) path; keeping the last
+                                      # up block segment-decomposed would
+                                      # exempt the LARGEST activation
+                                      # producer (full-res) from the fp8
+                                      # saves, so act8 takes precedence
+                                      segmented_last_up=(
+                                          args.segmented_last_up
+                                          and not args.act8))
     config = training.TrainConfig(
         sfl_weight=args.sfl_weight, dcl_weight=args.dcl_weight,
         max_lr=args.max_lr, min_lr=args.min_lr, lr_step_size=args.num_iter,
