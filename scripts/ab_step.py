@@ -43,15 +43,21 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=(256, 320))
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--skip_default", action="store_true",
+                    help="time only the named flag variants (e.g. when the "
+                         "default config OOMs at the chosen batch/hw and "
+                         "the variant is the one that fits, like act8 at "
+                         "512x640 batch 8)")
     ap.add_argument("flags", nargs="*", default=[])
     args = ap.parse_args()
     bsz, hw = args.batch, tuple(args.hw)
     batch = {k: jax.device_put(jnp.asarray(v))
              for k, v in B.synthetic_batch(bsz, *hw).items()}
     dclw = jax.device_put(jnp.asarray(5.0, jnp.float32))
-    ms, loss = time_step({}, batch, dclw, hw=hw, remat=args.remat)
-    sps = bsz / ms * 1e3
-    print(f"default        {ms:7.1f} ms/step  {sps:6.1f} samples/s  loss {loss:.5f}")
+    if not args.skip_default:
+        ms, loss = time_step({}, batch, dclw, hw=hw, remat=args.remat)
+        sps = bsz / ms * 1e3
+        print(f"default        {ms:7.1f} ms/step  {sps:6.1f} samples/s  loss {loss:.5f}")
     for f in args.flags:
         ms, loss = time_step({f: True}, batch, dclw, hw=hw, remat=args.remat)
         sps = bsz / ms * 1e3

@@ -34,7 +34,14 @@ def main():
     ap.add_argument("--buffered", action="store_true")
     ap.add_argument("--block_packed", action="store_true")
     ap.add_argument("--block_engine", action="store_true")
+    ap.add_argument("--act8", action="store_true")
+    ap.add_argument("--remat", action="store_true")
     ap.add_argument("--trace_dir", default="/tmp/jtrace_step")
+    ap.add_argument("--per_op", type=int, default=0, metavar="N",
+                    help="also print the top-N individual fusions by device "
+                         "self-time (the utilization-hunt ranking: the gap "
+                         "to the bandwidth roofline is spread over ~150 "
+                         "fusions — PERF.md round-4 queue #2)")
     args = ap.parse_args()
 
     import bench as B
@@ -44,7 +51,8 @@ def main():
     model = FCDenseNet57(n_classes=1, dtype=jnp.bfloat16, fused=args.fused,
                          segmented=args.segmented, buffered=args.buffered,
                          block_packed=args.block_packed,
-                         block_engine=args.block_engine)
+                         block_engine=args.block_engine, act8=args.act8,
+                         remat=args.remat)
     config = training.TrainConfig(lr_step_size=1000)
     state = training.create_train_state(
         model, jax.random.PRNGKey(0), (1,) + tuple(args.hw) + (3,), config)
@@ -91,6 +99,28 @@ def main():
           f"{total/1e3/args.steps:.1f} ms/step")
     for typ, (us, occ) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:18]:
         print(f"{typ:40s} {us/1e3/args.steps:8.2f} ms/step  x{occ}")
+
+    if args.per_op:
+        name_col = next((c for c in ("operation", "name", "op_name")
+                         if c in cols), None)
+        if name_col is None:
+            print(f"(no per-op name column; available: {cols})")
+            return
+        i_name = cols.index(name_col)
+        ops = {}
+        for row in tbl["rows"]:
+            c = row["c"]
+            if c[i_host]["v"] != "Device":
+                continue
+            key = (c[i_name]["v"], c[i_type]["v"])
+            ops.setdefault(key, [0.0, 0])
+            ops[key][0] += float(c[i_self]["v"])
+            ops[key][1] += int(c[i_occ]["v"])
+        print(f"\ntop {args.per_op} fusions by device self-time:")
+        for (name, typ), (us, occ) in sorted(
+                ops.items(), key=lambda kv: -kv[1][0])[:args.per_op]:
+            print(f"{us/1e3/args.steps:8.3f} ms/step  x{occ:<4d} "
+                  f"{typ:22s} {name[:90]}")
 
 
 if __name__ == "__main__":
