@@ -190,15 +190,45 @@ def act8_block_apply(dims, x, gammas, betas, kernels, biases):
     return _mat_impl(dims, x, gammas, betas, kernels, biases)
 
 
+# Trace-time switch between the two block backward modes (consistent
+# between fwd and bwd within one trace; an A/B knob for the hardware
+# measurement — scripts/ab_step.py):
+#
+# - "replay"    (default): save an e4m3 copy of the block INPUT only
+#   (c0 channels — the minimal-memory mode, half of plain remat's bf16
+#   block-input save; the 512x640 batch-8 target) and replay the whole
+#   block via jax.vjp in the backward. Remat-like backward cost.
+# - "saved_buf": save the WHOLE buffer at e4m3 (ctot channels ≈ byte
+#   parity with remat's bf16 input save) plus the exact f32 statistics;
+#   the backward is dense_block's prefix-recompute rule evaluated at the
+#   dequantized buffer — every layer linearizes at an e4m3-accurate
+#   input (no intra-block error compounding) and no conv is recomputed.
+#   Measured full-model grad cos 0.9839 vs replay's 0.9804 (32x32/b8,
+#   transitions compressed in both).
+BWD_MODE = "replay"
+
+
 def _act8_fwd(dims, x, gammas, betas, kernels, biases):
-    out = _mat_impl(dims, x, gammas, betas, kernels, biases)
+    buf, mu, m2 = _mat_impl(dims, x, gammas, betas, kernels, biases)
+    if BWD_MODE == "saved_buf":
+        q, s = quantize8(buf)
+        dt_token = jnp.zeros((0,), buf.dtype)
+        return (buf, mu, m2), (q, s, dt_token, mu, m2,
+                               gammas, betas, kernels, biases)
     q, s = quantize8(x)
     # zero-size dtype token: residuals must be arrays, not dtype objects
     dt_token = jnp.zeros((0,), x.dtype)
-    return out, (q, s, dt_token, gammas, betas, kernels, biases)
+    return (buf, mu, m2), (q, s, dt_token, gammas, betas, kernels, biases)
 
 
 def _act8_bwd(dims, res, cot):
+    if BWD_MODE == "saved_buf":
+        q, s, dt_token, mu, m2, gammas, betas, kernels, biases = res
+        buft = dequantize8(q, s, dt_token.dtype)
+        from .dense_block import _block_bwd
+        return _block_bwd(dims,
+                          (buft, mu, m2, gammas, betas, kernels, biases),
+                          cot)
     q, s, dt_token, gammas, betas, kernels, biases = res
     xt = dequantize8(q, s, dt_token.dtype)
     _, vjp = jax.vjp(

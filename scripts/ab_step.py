@@ -59,7 +59,15 @@ def main():
         sps = bsz / ms * 1e3
         print(f"default        {ms:7.1f} ms/step  {sps:6.1f} samples/s  loss {loss:.5f}")
     for f in args.flags:
-        ms, loss = time_step({f: True}, batch, dclw, hw=hw, remat=args.remat)
+        if f == "act8_saved_buf":
+            # pseudo-flag: act8 with the whole-buffer fp8 backward
+            # (ops/act8.py BWD_MODE) instead of the input-replay default
+            from endoscopydepthestimation_pytorch_tpu.ops import act8
+            act8.BWD_MODE = "saved_buf"
+            flags = {"act8": True}
+        else:
+            flags = {f: True}
+        ms, loss = time_step(flags, batch, dclw, hw=hw, remat=args.remat)
         sps = bsz / ms * 1e3
         print(f"{f:14s} {ms:7.1f} ms/step  {sps:6.1f} samples/s  loss {loss:.5f}")
 

@@ -83,10 +83,12 @@ def test_block_forward_matches_buffered_twin():
                                rtol=1e-6, atol=1e-6)
 
 
-def test_block_grad_contained_deviation():
-    # Block-level contract: gradients of the compressed backward vs exact
-    # autodiff of the same math — direction preserved (cos > 0.99), norm
-    # within a few percent.
+@pytest.mark.parametrize("mode", ["replay", "saved_buf"])
+def test_block_grad_contained_deviation(mode, monkeypatch):
+    # Block-level contract, both backward modes (ops/act8.py BWD_MODE):
+    # gradients of the compressed backward vs exact autodiff of the same
+    # math — direction preserved (cos > 0.99), norm within a few percent.
+    monkeypatch.setattr(act8, "BWD_MODE", mode)
     dims, x, g, b, k, bi = _block_args(jax.random.PRNGKey(2))
 
     def loss_via(fn):
