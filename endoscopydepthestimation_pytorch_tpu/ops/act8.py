@@ -74,6 +74,31 @@ def dequantize8(q: jnp.ndarray, s: jnp.ndarray, dtype) -> jnp.ndarray:
     return (q.astype(jnp.float32) * s).astype(dtype)
 
 
+def _shape_token(x: jnp.ndarray) -> jnp.ndarray:
+    """Zero-size array whose SHAPE statically carries ``(0,) + x.shape``
+    and whose dtype carries ``x.dtype`` — lets the backward reconstruct
+    the tensor from a flattened residual without storing metadata."""
+    return jnp.zeros((0,) + x.shape, x.dtype)
+
+
+def _store_dense(q: jnp.ndarray) -> jnp.ndarray:
+    """Flatten an fp8 residual to 1-D for HBM storage.
+
+    At model shapes the residual is tiled ``T(8,128)(4,1)`` with the
+    channel dim padded to 128 lanes — at C=48 that is a 2.7x physical
+    expansion (measured: the 512x640 act8 OOM dump shows
+    f8e4m3fn[8,512,640,48] allocated at 320M for 120M of payload), which
+    erases fp8's capacity win. A 1-D store is lane-dense (pad < 4 KiB).
+    The relayout copy costs one extra read+write of the tensor per
+    direction; act8 is a capacity lever, not a bandwidth one, so that is
+    the right trade."""
+    return q.reshape(-1)
+
+
+def _load_dense(q: jnp.ndarray, token: jnp.ndarray) -> jnp.ndarray:
+    return q.reshape(token.shape[1:])
+
+
 def _stats(x: jnp.ndarray, axis_name: Optional[str]):
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=(0, 1, 2))
@@ -133,12 +158,12 @@ def compressed_call(fn, x, *args):
 
 def _cc_fwd(fn, x, *args):
     q, s = quantize8(x)
-    return fn(x, *args), (q, s, jnp.zeros((0,), x.dtype), args)
+    return fn(x, *args), (_store_dense(q), s, _shape_token(x), args)
 
 
 def _cc_bwd(fn, res, cot):
     q, s, dt_token, args = res
-    xt = dequantize8(q, s, dt_token.dtype)
+    xt = dequantize8(_load_dense(q, dt_token), s, dt_token.dtype)
     _, vjp = jax.vjp(fn, xt, *args)
     return vjp(cot)
 
@@ -212,25 +237,24 @@ def _act8_fwd(dims, x, gammas, betas, kernels, biases):
     buf, mu, m2 = _mat_impl(dims, x, gammas, betas, kernels, biases)
     if BWD_MODE == "saved_buf":
         q, s = quantize8(buf)
-        dt_token = jnp.zeros((0,), buf.dtype)
-        return (buf, mu, m2), (q, s, dt_token, mu, m2,
+        return (buf, mu, m2), (_store_dense(q), s, _shape_token(buf), mu, m2,
                                gammas, betas, kernels, biases)
     q, s = quantize8(x)
-    # zero-size dtype token: residuals must be arrays, not dtype objects
-    dt_token = jnp.zeros((0,), x.dtype)
-    return (buf, mu, m2), (q, s, dt_token, gammas, betas, kernels, biases)
+    # zero-size shape/dtype token: residuals must be arrays, not metadata
+    return (buf, mu, m2), (_store_dense(q), s, _shape_token(x),
+                           gammas, betas, kernels, biases)
 
 
 def _act8_bwd(dims, res, cot):
     if BWD_MODE == "saved_buf":
         q, s, dt_token, mu, m2, gammas, betas, kernels, biases = res
-        buft = dequantize8(q, s, dt_token.dtype)
+        buft = dequantize8(_load_dense(q, dt_token), s, dt_token.dtype)
         from .dense_block import _block_bwd
         return _block_bwd(dims,
                           (buft, mu, m2, gammas, betas, kernels, biases),
                           cot)
     q, s, dt_token, gammas, betas, kernels, biases = res
-    xt = dequantize8(q, s, dt_token.dtype)
+    xt = dequantize8(_load_dense(q, dt_token), s, dt_token.dtype)
     _, vjp = jax.vjp(
         lambda x_, g_, b_, k_, bi_: _mat_impl(dims, x_, g_, b_, k_, bi_),
         xt, gammas, betas, kernels, biases)
