@@ -91,8 +91,15 @@ def _store_dense(q: jnp.ndarray) -> jnp.ndarray:
     erases fp8's capacity win. A 1-D store is lane-dense (pad < 4 KiB).
     The relayout copy costs one extra read+write of the tensor per
     direction; act8 is a capacity lever, not a bandwidth one, so that is
-    the right trade."""
-    return q.reshape(-1)
+    the right trade.
+
+    The ``optimization_barrier`` is load-bearing: the residual's
+    producer (this reshape) and consumer (``_load_dense``'s reshape
+    back) live in ONE jit program, and without the barrier XLA's
+    algebraic simplifier cancels reshape∘reshape and carries the padded
+    4-D buffer again — measured: identical 18.99G OOM totals with and
+    without the plain reshape."""
+    return lax.optimization_barrier(q.reshape(-1))
 
 
 def _load_dense(q: jnp.ndarray, token: jnp.ndarray) -> jnp.ndarray:

@@ -124,11 +124,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fp8 (e4m3) compressed-activation backward in the "
                         "dense blocks (ops/act8.py): exact forward; each "
                         "block saves only an e4m3 copy of its input and "
-                        "replays in the backward — the memory lever for "
-                        "large batches/resolutions. Gradients deviate "
-                        "within a per-block quantization envelope (outside "
-                        "strict reference numerics; accuracy study in "
-                        "tests/test_act8.py)")
+                        "replays in the backward. MEASURED NEGATIVE on "
+                        "v5e-16G (PERF.md round-3 close-out): slower at "
+                        "256x320 (replay re-pays the forward's HBM bytes) "
+                        "and no capacity unlock at 512x640 (the replay's "
+                        "backward working set dominates); kept for larger-"
+                        "HBM parts. Gradients deviate within a per-block "
+                        "quantization envelope (outside strict reference "
+                        "numerics; accuracy study in tests/test_act8.py)")
     p.add_argument("--rgb_mode", type=str, default="rgb")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler device trace of epoch 0 here")
