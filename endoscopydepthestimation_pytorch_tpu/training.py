@@ -211,9 +211,13 @@ def apply_gradients(state: TrainState, loss, grads, new_stats, scalars
     return new_state, metrics
 
 
+_IMAGE_KEYS = ("scaled_depth_1", "flows_from_depth_1",
+               "scaled_depth_2", "flows_from_depth_2")
+
+
 def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                dcl_weight: jnp.ndarray, config: TrainConfig,
-               with_images: bool = False
+               with_images: bool = False, grad_accum: int = 1
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One fully-fused optimization step. ``dcl_weight`` is a traced scalar
     so the warmup switch (train.py:239-242) never recompiles.
@@ -223,23 +227,78 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
     training board (c1,d1,sf1,df1,c2,d2,sf2,df2 — train.py:353-371 there).
     It is a separate compiled program — non-display steps pay nothing for
     it.
+
+    ``grad_accum=N`` splits the batch into N microbatches (row-strided, so
+    each device of a data mesh contributes to every microbatch), runs the
+    forward+backward per microbatch under ``lax.scan`` (one microbatch's
+    activations live at a time), and applies ONE clipped SGD update on the
+    mean gradient — the capacity lever for the reference's canonical batch
+    8 at 512x640 on 16G HBM (its README.md:52; per-chip direct batch caps
+    at 4 there, PERF.md). BN semantics, documented: each microbatch
+    normalizes with its OWN batch statistics and running stats advance N
+    times per step — exactly the BN behavior of N consecutive reference
+    iterations at the microbatch size, not of one batch-8N iteration.
+    Models without BN (UNet) produce bit-identical gradients to the
+    unaccumulated step.
     """
     eps = config.zero_division_epsilon
 
-    def loss_fn(params):
+    def loss_fn(params, batch_stats, mbatch):
         d1, d2, new_stats = _forward_pair(state.apply_fn, params,
-                                          state.batch_stats, batch, train=True)
-        loss, aux = compute_losses(d1, d2, batch, config.sfl_weight, dcl_weight, eps)
+                                          batch_stats, mbatch, train=True)
+        loss, aux = compute_losses(d1, d2, mbatch, config.sfl_weight,
+                                   dcl_weight, eps)
         return loss, (new_stats, aux)
 
-    (loss, (new_stats, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-    new_state, metrics = apply_gradients(state, loss, grads, new_stats, aux)
+    if grad_accum <= 1:
+        (loss, (new_stats, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        new_state, metrics = apply_gradients(state, loss, grads, new_stats, aux)
+        if with_images:
+            metrics = dict(metrics, **{k: aux[k] for k in _IMAGE_KEYS})
+        return new_state, metrics
+
+    n = grad_accum
+    batch_size = batch["color_1"].shape[0]
+    if batch_size % n:
+        raise ValueError(f"batch {batch_size} not divisible by grad_accum {n}")
+    scalar_keys = ("sparse_flow_loss", "depth_consistency_loss",
+                   "scale_std_1", "scale_std_2")
+
+    def to_micro(x):
+        # row-strided split: microbatch m = rows [m::n], so a contiguously
+        # batch-sharded array keeps every device busy in every microbatch
+        return jnp.swapaxes(
+            x.reshape(batch_size // n, n, *x.shape[1:]), 0, 1)
+
+    micro_batches = jax.tree.map(to_micro, batch)
+
+    def body(carry, mbatch):
+        stats, grad_sum, loss_sum, scalar_sum = carry
+        (loss, (new_stats, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, stats, mbatch)
+        grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+        scalar_sum = {k: scalar_sum[k] + aux[k] for k in scalar_keys}
+        images = {k: aux[k] for k in _IMAGE_KEYS} if with_images else {}
+        return (new_stats, grad_sum, loss_sum + loss, scalar_sum), images
+
+    init = (state.batch_stats,
+            jax.tree.map(jnp.zeros_like, state.params),
+            jnp.zeros((), jnp.float32),
+            {k: jnp.zeros((), jnp.float32) for k in scalar_keys})
+    (new_stats, grad_sum, loss_sum, scalar_sum), images = jax.lax.scan(
+        body, init, micro_batches)
+
+    inv = 1.0 / n
+    grads = jax.tree.map(lambda g: g * inv, grad_sum)
+    loss = loss_sum * inv
+    scalars = {k: v * inv for k, v in scalar_sum.items()}
+    new_state, metrics = apply_gradients(state, loss, grads, new_stats, scalars)
     if with_images:
-        metrics = dict(metrics,
-                       scaled_depth_1=aux["scaled_depth_1"],
-                       flows_from_depth_1=aux["flows_from_depth_1"],
-                       scaled_depth_2=aux["scaled_depth_2"],
-                       flows_from_depth_2=aux["flows_from_depth_2"])
+        # (n, B/n, H, W, C) scan stack -> original row order
+        metrics = dict(metrics, **{
+            k: jnp.swapaxes(v, 0, 1).reshape(batch_size, *v.shape[2:])
+            for k, v in images.items()})
     return new_state, metrics
 
 
@@ -285,9 +344,11 @@ def predict_step(state: TrainState, colors: jnp.ndarray,
     return state.apply_fn(variables, colors * boundaries, train=False)
 
 
-def make_jit_train_step(config: TrainConfig, with_images: bool = False):
+def make_jit_train_step(config: TrainConfig, with_images: bool = False,
+                        grad_accum: int = 1):
     """jit with donated state so XLA reuses parameter/optimizer buffers."""
-    return jax.jit(partial(train_step, config=config, with_images=with_images),
+    return jax.jit(partial(train_step, config=config, with_images=with_images,
+                           grad_accum=grad_accum),
                    donate_argnums=0)
 
 

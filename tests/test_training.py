@@ -164,3 +164,49 @@ def test_train_step_without_batch_stats_collection():
     new_state, metrics = step(state, batch, jnp.asarray(0.1, jnp.float32))
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_grad_accum_unet_bit_parity():
+    """grad_accum=2 on a BN-free model (UNet) produces the same update as
+    the direct batch step — accumulation only reorders equal-weight
+    per-sample means (training.train_step docstring)."""
+    from endoscopydepthestimation_pytorch_tpu.models import UNet
+    config = training.TrainConfig(lr_step_size=50)
+    model = UNet(out_channels=1)
+    state0 = training.create_train_state(model, jax.random.PRNGKey(2),
+                                         (1, H, W, 3), config)
+    batch = jax.tree.map(jnp.asarray, _synthetic_batch(batch=4))
+
+    direct = training.make_jit_train_step(config)(
+        jax.tree.map(jnp.array, state0), batch, jnp.asarray(5.0))
+    accum = training.make_jit_train_step(config, grad_accum=2)(
+        jax.tree.map(jnp.array, state0), batch, jnp.asarray(5.0))
+
+    np.testing.assert_allclose(float(direct[1]["loss"]),
+                               float(accum[1]["loss"]), rtol=2e-6)
+    np.testing.assert_allclose(float(direct[1]["grad_norm"]),
+                               float(accum[1]["grad_norm"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(direct[0].params),
+                    jax.tree.leaves(accum[0].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
+
+
+def test_grad_accum_fcdensenet_runs_and_images(setup):
+    """BN model under grad_accum: finite metrics, BN stats advance, and the
+    with_images variant returns boards in original row order."""
+    config, model, fresh = setup
+    state = fresh()
+    stats0 = jax.tree.map(np.asarray, state.batch_stats)  # before donation
+    batch = jax.tree.map(jnp.asarray, _synthetic_batch(batch=4))
+    step = training.make_jit_train_step(config, with_images=True, grad_accum=2)
+    new_state, metrics = step(state, batch, jnp.asarray(0.1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+    assert metrics["scaled_depth_1"].shape == (4, H, W, 1)
+    assert metrics["flows_from_depth_2"].shape == (4, H, W, 2)
+    # microbatch stats differ from the init stats => they advanced
+    changed = [not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree.leaves(stats0),
+                               jax.tree.leaves(new_state.batch_stats))]
+    assert any(changed)
