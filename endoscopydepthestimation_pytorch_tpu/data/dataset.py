@@ -219,13 +219,30 @@ class BatchLoader:
     are yielded strictly in order; sample RNG is deterministic given
     (seed, epoch) because pair sampling/augmentation randomness is drawn
     up-front on the coordinating thread.
+
+    Multi-host: ``process_index``/``process_count`` partition each GLOBAL
+    batch of ``batch_size`` samples into ``process_count`` contiguous
+    local slices — every host walks the same global index order and the
+    same per-sample RNG stream positions, so the hosts' slices reassemble
+    (via ``shard_batch``'s ``make_array_from_process_local_data`` branch)
+    into exactly the batch a single-process run would build. The
+    TPU-native equivalent of the reference's per-process DataLoader
+    (train.py:186-189 there).
     """
 
     def __init__(self, dataset: SfMDataset, batch_size: int, shuffle: bool,
                  num_workers: int = 4, seed: int = 10085, drop_last: bool = True,
-                 prefetch: int = 4):
+                 prefetch: int = 4, process_index: int = 0,
+                 process_count: int = 1):
+        if batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly over "
+                f"{process_count} processes")
         self.dataset = dataset
         self.batch_size = batch_size
+        self.process_index = process_index
+        self.process_count = process_count
+        self.local_batch_size = batch_size // process_count
         self.shuffle = shuffle
         # more worker threads than cores THRASH (measured: 4 workers on a
         # 1-core host produce batches 5x slower than 1 worker — GIL +
@@ -260,15 +277,29 @@ class BatchLoader:
     def __iter__(self):
         order = self._index_order()
         n_batches = len(self)
+        if (self.process_count > 1 and not self.drop_last
+                and len(order) % self.batch_size):
+            # a ragged final batch cannot split into equal per-host slices
+            raise ValueError("multi-host loading requires drop_last=True "
+                             "(or a dataset length divisible by batch_size)")
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         base = (self.seed + self._epoch) * 1000003
 
-        def build(b, idxs):
+        def local_indexes(b):
+            """This host's slice of global batch b, with GLOBAL positions
+            (RNG stream ids) so every host draws the samples a
+            single-process run would put at those rows."""
+            start = b * self.batch_size + self.process_index * self.local_batch_size
+            idxs = order[start:start + self.local_batch_size]
+            return start, idxs
+
+        def build(b):
+            start, idxs = local_indexes(b)
             samples = []
             for k, i in enumerate(idxs):
-                pos = b * self.batch_size + k
+                pos = start + k
                 # per-sample RNG streams: deterministic under any worker
                 # interleaving
                 srng = random.Random(base + pos)
@@ -282,14 +313,13 @@ class BatchLoader:
                     for b in range(n_batches):
                         if stop.is_set():
                             return
-                        q.put(build(b, order[b * self.batch_size:(b + 1) * self.batch_size]))
+                        q.put(build(b))
                 else:
                     from concurrent.futures import ThreadPoolExecutor
                     with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                         futures = []
                         for b in range(n_batches):
-                            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                            futures.append(pool.submit(build, b, idxs))
+                            futures.append(pool.submit(build, b))
                             # drain in order as soon as the head is ready
                             while futures and (futures[0].done() or
                                                len(futures) >= self.num_workers + 1):

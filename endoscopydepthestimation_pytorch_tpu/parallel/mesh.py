@@ -70,6 +70,40 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jnp.ndarr
     return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in arrays.items()}
 
 
+def host_local(x) -> np.ndarray:
+    """This host's rows of a (possibly multi-host) global array.
+
+    Replicated arrays return one full copy; batch-sharded arrays return the
+    process-local rows in batch order (the rows this host's loader fed in,
+    since ``shard_batch`` preserves the row->device mapping). Single-process
+    this equals ``np.asarray(x)``; multi-host, where ``np.asarray`` raises
+    on non-fully-addressable arrays, this is the correct local view for
+    visualization/logging.
+    """
+    if not hasattr(x, "addressable_shards"):
+        return np.asarray(x)
+    if x.is_fully_replicated:
+        return np.asarray(x.addressable_data(0))
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def multihost_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Barrier through the coordination service (gRPC KV store).
+
+    Used around first executions of collective programs: on loaded hosts
+    compile-time skew between processes can exceed the Gloo rendezvous'
+    hard 30 s deadline at the first cross-host collective; this barrier has
+    a minutes-scale timeout. No-op single-process. (NOT
+    ``sync_global_devices``, which is itself a Gloo collective and would
+    hit the same 30 s deadline.)"""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+    distributed.global_state.client.wait_at_barrier(name, timeout_ms)
+
+
 def replicate_state(state: training.TrainState, mesh: Mesh) -> training.TrainState:
     """Replicate parameters/optimizer state across the mesh.
 
@@ -85,19 +119,23 @@ def replicate_state(state: training.TrainState, mesh: Mesh) -> training.TrainSta
 
 
 def make_parallel_train_step(config: training.TrainConfig, mesh: Mesh,
-                             with_images: bool = False):
+                             with_images: bool = False, grad_accum: int = 1):
     """The jitted train step with explicit shardings: state replicated,
     batch split on the data axis. XLA turns the loss/grad reductions into
     ICI all-reduces; BatchNorm's batch-mean becomes a cross-replica mean
     (a strict improvement over DataParallel's per-replica BN stats —
     documented deviation). ``with_images`` adds the training-board image
-    outputs (separate compiled program used only on display steps)."""
+    outputs (separate compiled program used only on display steps).
+    ``grad_accum`` accumulates over row-strided microbatches (each device
+    contributes to every microbatch, so the per-microbatch grad/BN psums
+    still ride the full mesh — training.train_step docstring)."""
     rep = replicated(mesh)
     shard = batch_sharding(mesh)
     # shardings by pytree prefix: whole state replicated, whole batch
     # sharded; image outputs (if any) come back batch-sharded per compiler
     return jax.jit(
-        partial(training.train_step, config=config, with_images=with_images),
+        partial(training.train_step, config=config, with_images=with_images,
+                grad_accum=grad_accum),
         in_shardings=(rep, shard, rep),
         donate_argnums=0)
 

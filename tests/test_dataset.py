@@ -99,6 +99,57 @@ def test_batch_loader_shapes_and_determinism(train_dataset):
         np.testing.assert_array_equal(a, b)
 
 
+def test_batch_loader_process_partition(train_dataset):
+    """Two partitioned loaders (process_count=2) reassemble each global
+    batch exactly as the unpartitioned loader builds it — rows AND their
+    per-sample RNG draws (multi-host contract, BatchLoader docstring)."""
+    full = BatchLoader(train_dataset, batch_size=4, shuffle=True, seed=123)
+    full.set_epoch(3)
+    parts = [BatchLoader(train_dataset, batch_size=4, shuffle=True, seed=123,
+                         process_index=i, process_count=2) for i in range(2)]
+    for p in parts:
+        p.set_epoch(3)
+
+    global_batches = [b for b in full][:3]
+    local_0 = [b for b in parts[0]][:3]
+    local_1 = [b for b in parts[1]][:3]
+    for g, l0, l1 in zip(global_batches, local_0, local_1):
+        assert l0["color_1"].shape[0] == 2
+        for key in ("color_1", "sparse_depth_1", "flow_2", "intrinsic"):
+            np.testing.assert_array_equal(
+                g[key], np.concatenate([l0[key], l1[key]], axis=0))
+
+
+def test_batch_loader_throughput_floor(train_dataset):
+    """The host pipeline's GIL assumption (jpeg decode / native rasterize /
+    augment release the GIL — BatchLoader docstring) is measured, not
+    trusted: a pure-Python addition that serialized the pipeline would
+    drop throughput an order of magnitude below this floor. Measured
+    37.8 ms/sample on this 1-core class of box (PERF.md); the floor is
+    ~5x slack for suite contention."""
+    import time
+    loader = BatchLoader(train_dataset, batch_size=4, shuffle=False, seed=7)
+    it = iter(loader)
+    next(it)  # warm caches (sequence data already resident via fixture)
+    t0 = time.perf_counter()
+    n = 0
+    for batch in it:
+        n += batch["color_1"].shape[0]
+        if n >= 16:
+            break
+    per_sample_ms = 1000.0 * (time.perf_counter() - t0) / n
+    assert per_sample_ms < 200.0, (
+        f"loader {per_sample_ms:.1f} ms/sample — host pipeline regression "
+        "(expected ~40 ms/sample on a 1-core box)")
+
+
+def test_batch_loader_rejects_indivisible_partition(train_dataset):
+    import pytest
+    with pytest.raises(ValueError):
+        BatchLoader(train_dataset, batch_size=3, shuffle=False,
+                    process_index=0, process_count=2)
+
+
 def test_augmentation_pipeline_preserves_dtype_shape():
     from endoscopydepthestimation_pytorch_tpu.data.augment import TrainingAugmentation
     aug = TrainingAugmentation(seed=0)

@@ -30,9 +30,11 @@ from endoscopydepthestimation_pytorch_tpu.data.dataset import BatchLoader, SfMDa
 from endoscopydepthestimation_pytorch_tpu.models import (FCDenseNet57, FCDenseNet67,
                                                          FCDenseNet103)
 from endoscopydepthestimation_pytorch_tpu.parallel import (device_prefetch,
+                                                           host_local,
                                                            make_mesh_for_batch,
                                                            make_parallel_eval_step,
                                                            make_parallel_train_step,
+                                                           multihost_barrier,
                                                            replicate_state, shard_batch)
 from endoscopydepthestimation_pytorch_tpu.utils import checkpoint as ckpt
 from endoscopydepthestimation_pytorch_tpu.utils import visualization as viz
@@ -132,6 +134,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "HBM parts. Gradients deviate within a per-block "
                         "quantization envelope (outside strict reference "
                         "numerics; accuracy study in tests/test_act8.py)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per step: the "
+                        "capacity lever for the reference's canonical "
+                        "batch 8 at 512x640 on 16G HBM (--batch_size 8 "
+                        "--grad_accum 2 --remat). One clipped SGD update "
+                        "on the mean gradient; BN normalizes per "
+                        "microbatch and running stats advance per "
+                        "microbatch (training.train_step docstring)")
     p.add_argument("--rgb_mode", type=str, default="rgb")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler device trace of epoch 0 here")
@@ -140,12 +150,50 @@ def build_parser() -> argparse.ArgumentParser:
                         "device->host round trip); set 1 for the "
                         "reference's per-iteration scalar granularity "
                         "(its train.py:348-350)")
+    # multi-host (DCN): run one copy of this CLI per host; each host's
+    # loader feeds its contiguous slice of every global batch (the
+    # TPU-native equivalent of the reference's per-process DataLoader
+    # workers, train.py:186-189 there). Values default from the JAX
+    # cluster env (TPU pods auto-detect); set all three for manual setups.
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (multi-host training)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="total number of host processes")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's id in [0, num_processes)")
     return p
+
+
+class _NullWriter:
+    """Metric sink for non-zero processes in multi-host runs."""
+
+    def add_image(self, *a, **k):
+        pass
+
+    def add_scalars(self, *a, **k):
+        pass
+
+    def export_scalars_to_json(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     height, width = args.input_size
+
+    if (args.coordinator_address is not None or args.num_processes is not None
+            or args.process_id is not None):
+        # multi-host entry: every host runs this same CLI; JAX's distributed
+        # runtime makes jax.devices() global and the jitted step's gradient
+        # psum ride the ICI/DCN mesh
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes, process_id=args.process_id)
+    proc, nproc = jax.process_index(), jax.process_count()
+    is_main = proc == 0
 
     np.random.seed(10085)
     random.seed(10085)
@@ -155,9 +203,12 @@ def main(argv=None):
         "depth_estimation_train_run_{}_{}_{}_{}_test_id_{}".format(
             now.month, now.day, now.hour, now.minute,
             "_".join(str(i) for i in args.testing_patient_id)))
-    log_root.mkdir(parents=True, exist_ok=True)
-    writer = viz.MetricWriter(log_root)
-    print(f"Logs at {log_root}")
+    if is_main:
+        log_root.mkdir(parents=True, exist_ok=True)
+        writer = viz.MetricWriter(log_root)
+        print(f"Logs at {log_root}")
+    else:
+        writer = _NullWriter()
 
     data_root = Path(args.training_data_root)
     train_files, val_files, _ = readers.get_color_file_names_by_bag(
@@ -189,9 +240,11 @@ def main(argv=None):
         num_pre_workers=args.num_pre_workers, rgb_mode=args.rgb_mode)
 
     train_loader = BatchLoader(train_dataset, args.batch_size, shuffle=True,
-                               seed=10085)
+                               seed=10085, process_index=proc,
+                               process_count=nproc)
     val_loader = BatchLoader(val_dataset, args.batch_size, shuffle=False,
-                             seed=10085, drop_last=True)
+                             seed=10085, drop_last=True, process_index=proc,
+                             process_count=nproc)
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     fused = args.fused_convs and jax.default_backend() == "tpu"
@@ -235,17 +288,35 @@ def main(argv=None):
         print(f"Restored model, epoch {start_epoch}, step {int(state.step)}")
 
     mesh = make_mesh_for_batch(args.batch_size)
-    print(f"Data-parallel mesh over {len(mesh.devices.ravel())} device(s)")
+    if is_main:
+        print(f"Data-parallel mesh over {len(mesh.devices.ravel())} "
+              f"device(s), {nproc} host process(es)")
     state = replicate_state(state, mesh)
-    train_step = make_parallel_train_step(config, mesh)
+    train_step = make_parallel_train_step(config, mesh,
+                                          grad_accum=args.grad_accum)
     # display-step variant additionally returns the board images
     # (reference emits a 4-panel training board every display_interval
     # iterations, train.py:353-371 there)
-    train_step_display = make_parallel_train_step(config, mesh, with_images=True)
+    train_step_display = make_parallel_train_step(config, mesh, with_images=True,
+                                                  grad_accum=args.grad_accum)
     # use_batch_stats: the reference never flips its model to eval mode in
     # the training-loop validation (its train.py:234, 380)
     eval_step = make_parallel_eval_step(config, mesh, with_images=True,
                                         use_batch_stats=True)
+
+    # Multi-host: AOT-compile each collective program once and barrier
+    # through the coordination service before its first execution —
+    # compile-time skew between hosts can exceed the Gloo rendezvous'
+    # hard 30 s deadline at the first cross-host collective.
+    aot_cache = {}
+
+    def run_step(name, fn, *step_args):
+        if nproc == 1:
+            return fn(*step_args)
+        if name not in aot_cache:
+            aot_cache[name] = fn.lower(*step_args).compile()
+            multihost_barrier(f"{name}_compiled")
+        return aot_cache[name](*step_args)
 
     mean_sfl = 0.0
     timer = StepTimer()
@@ -267,18 +338,20 @@ def main(argv=None):
                 display = (args.display_interval > 0
                            and batch_idx % args.display_interval == 0)
                 if display:
-                    state, metrics = train_step_display(state, device_batch,
-                                                        dcl_weight)
+                    state, metrics = run_step("train_display",
+                                              train_step_display,
+                                              state, device_batch, dcl_weight)
                     # 8-row board: c1,d1,sf1,df1,c2,d2,sf2,df2 (reference
-                    # train.py:353-371)
-                    boundary = np.asarray(device_batch["boundary"])
+                    # train.py:353-371); host_local = this host's rows in
+                    # multi-host runs (np.asarray cannot read remote shards)
+                    boundary = host_local(device_batch["boundary"])
                     panels = []
                     for f in ("1", "2"):
                         panels += viz.training_panel(
-                            np.asarray(device_batch[f"color_{f}"]),
-                            np.asarray(metrics[f"scaled_depth_{f}"]) * boundary,
-                            np.asarray(device_batch[f"flow_{f}"]) * boundary,
-                            np.asarray(metrics[f"flows_from_depth_{f}"]),
+                            host_local(device_batch[f"color_{f}"]),
+                            host_local(metrics[f"scaled_depth_{f}"]) * boundary,
+                            host_local(device_batch[f"flow_{f}"]) * boundary,
+                            host_local(metrics[f"flows_from_depth_{f}"]),
                             is_hsv=args.use_hsv_colorspace)
                     writer.add_image("Training/Images/Results",
                                      viz.stack_panels(panels), int(state.step))
@@ -287,7 +360,8 @@ def main(argv=None):
                                             "flows_from_depth_1",
                                             "flows_from_depth_2")}
                 else:
-                    state, metrics = train_step(state, device_batch, dcl_weight)
+                    state, metrics = run_step("train", train_step,
+                                              state, device_batch, dcl_weight)
                 if pending is not None and batch_idx % args.log_interval == 0:
                     vals = {k: float(v) for k, v in pending.items()
                             if k in ("loss", "sparse_flow_loss",
@@ -301,16 +375,16 @@ def main(argv=None):
                         "overall": means["loss"],
                         "depth_consistency": means["depth_consistency_loss"],
                         "sparse_flow": means["sparse_flow_loss"]}, step_idx)
-                    if batch_idx % 50 == 0:
+                    if batch_idx % 50 == 0 and is_main:
                         print(f"epoch {epoch} it {batch_idx} "
                               f"loss {vals['loss']:.5f} (avg {means['loss']:.5f}) "
                               f"sfl {vals['sparse_flow_loss']:.5f} "
                               f"dcl {vals['depth_consistency_loss']:.5f}")
                 pending = metrics
-        if pending is not None:
+        if pending is not None and is_main:
             print(f"epoch {epoch} final loss {float(pending['loss']):.5f}")
         summary = timer.summary()
-        if summary:
+        if summary and is_main:
             # ticks happen once per log_interval steps
             scale = max(1, args.log_interval)
             print(f"epoch {epoch} step time: mean {summary['mean_ms']/scale:.1f} ms, "
@@ -325,20 +399,22 @@ def main(argv=None):
         n = 0
         for batch_idx, batch in enumerate(val_loader):
             device_batch = shard_batch(batch, mesh)
-            metrics = eval_step(state, device_batch, dcl_weight)
+            metrics = run_step("eval", eval_step, state, device_batch, dcl_weight)
             n += 1
             for k in ("loss", "sparse_flow_loss", "depth_consistency_loss"):
                 v = float(metrics[k])
                 val_means[k] = val_means.get(k, 0.0) + (v - val_means.get(k, 0.0)) / n
-            if batch_idx % args.display_interval == 0:
-                # 8-row board, both frames (reference train.py:461-479)
+            if args.display_interval > 0 and batch_idx % args.display_interval == 0:
+                # 8-row board, both frames (reference train.py:461-479);
+                # `batch` is this host's local rows, matching host_local's
+                # view of the sharded metrics
                 panels = []
                 for f in ("1", "2"):
                     panels += viz.training_panel(
                         np.asarray(batch[f"color_{f}"]),
-                        np.asarray(metrics[f"scaled_depth_{f}"]) * batch["boundary"],
+                        host_local(metrics[f"scaled_depth_{f}"]) * batch["boundary"],
                         batch[f"flow_{f}"] * batch["boundary"],
-                        np.asarray(metrics[f"flows_from_depth_{f}"]),
+                        host_local(metrics[f"flows_from_depth_{f}"]),
                         is_hsv=args.use_hsv_colorspace)
                 writer.add_image("Validation/Images/Results",
                                  viz.stack_panels(panels), int(state.step))
@@ -349,10 +425,11 @@ def main(argv=None):
                 "sparse_flow": val_means["sparse_flow_loss"]}, epoch)
         mean_sfl = val_means.get("sparse_flow_loss", mean_sfl)
 
-        model_path = log_root / f"checkpoint_model_epoch_{epoch}_validation_{mean_sfl}"
-        ckpt.save_checkpoint(model_path, state, epoch + 1, mean_sfl)
-        writer.export_scalars_to_json(log_root / f"all_scalars_{epoch}.json")
-        print(f"epoch {epoch}: validation sfl {mean_sfl:.5f}, saved {model_path}")
+        if is_main:
+            model_path = log_root / f"checkpoint_model_epoch_{epoch}_validation_{mean_sfl}"
+            ckpt.save_checkpoint(model_path, state, epoch + 1, mean_sfl)
+            writer.export_scalars_to_json(log_root / f"all_scalars_{epoch}.json")
+            print(f"epoch {epoch}: validation sfl {mean_sfl:.5f}, saved {model_path}")
 
     writer.close()
 
