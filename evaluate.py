@@ -82,6 +82,17 @@ def _make_state(args, height, width):
     config = training.TrainConfig(compute_dtype=dtype)
     state = training.create_train_state(model, jax.random.PRNGKey(10085),
                                         (1, height, width, 3), config)
+    if args.architecture_summary:
+        # reference prints torchsummary in both evaluate phases
+        # (evaluate.py:142,302 there); same flax tabulate as train.py
+        import flax.linen as nn
+        print(nn.tabulate(
+            model, jax.random.PRNGKey(0),
+            compute_flops=False, compute_vjp_flops=False)(
+            jnp.zeros((1, height, width, 3), jnp.float32), train=False))
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+        print(f"FCDenseNet57: {n_params:,} parameters, input "
+              f"{height}x{width}, dtype {args.compute_dtype}")
     if not Path(args.trained_model_path).exists():
         raise OSError("Trained model could not be found")
     state, epoch, _ = ckpt.load_any_checkpoint(args.trained_model_path, state)

@@ -81,6 +81,7 @@ def test_evaluate_test_phase(trained_run, data_root, result_root, fixture_seq):
         "--testing_patient_id", "1",
         "--phase", "test",
         "--num_pre_workers", "1",
+        "--architecture_summary",
     ])
     out = list((result_root / "test_phase").glob("*/"))[0]
     plys = sorted(out.glob("*.ply"))
