@@ -18,12 +18,13 @@ from endoscopydepthestimation_pytorch_tpu import training  # noqa: E402
 from endoscopydepthestimation_pytorch_tpu.models import FCDenseNet57  # noqa: E402
 
 
-def time_step(flags, batch, dclw, steps=10, hw=(256, 320), remat=False):
+def time_step(flags, batch, dclw, steps=10, hw=(256, 320), remat=False,
+              grad_accum=1):
     model = FCDenseNet57(n_classes=1, dtype=jnp.bfloat16, remat=remat, **flags)
     config = training.TrainConfig(lr_step_size=1000)
     state = training.create_train_state(model, jax.random.PRNGKey(0),
                                         (1,) + tuple(hw) + (3,), config)
-    step_fn = training.make_jit_train_step(config)
+    step_fn = training.make_jit_train_step(config, grad_accum=grad_accum)
     for _ in range(3):
         state, m = step_fn(state, batch, dclw)
     float(m["loss"])
@@ -43,6 +44,10 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=(256, 320))
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="gradient-accumulation microbatches (the 512x640 "
+                         "effective-b8 capacity lever: --batch 8 "
+                         "--grad_accum 2 --remat)")
     ap.add_argument("--skip_default", action="store_true",
                     help="time only the named flag variants (e.g. when the "
                          "default config OOMs at the chosen batch/hw and "
@@ -55,7 +60,8 @@ def main():
              for k, v in B.synthetic_batch(bsz, *hw).items()}
     dclw = jax.device_put(jnp.asarray(5.0, jnp.float32))
     if not args.skip_default:
-        ms, loss = time_step({}, batch, dclw, hw=hw, remat=args.remat)
+        ms, loss = time_step({}, batch, dclw, hw=hw, remat=args.remat,
+                             grad_accum=args.grad_accum)
         sps = bsz / ms * 1e3
         print(f"default        {ms:7.1f} ms/step  {sps:6.1f} samples/s  loss {loss:.5f}")
     for f in args.flags:
@@ -67,7 +73,8 @@ def main():
             flags = {"act8": True}
         else:
             flags = {f: True}
-        ms, loss = time_step(flags, batch, dclw, hw=hw, remat=args.remat)
+        ms, loss = time_step(flags, batch, dclw, hw=hw, remat=args.remat,
+                             grad_accum=args.grad_accum)
         sps = bsz / ms * 1e3
         print(f"{f:14s} {ms:7.1f} ms/step  {sps:6.1f} samples/s  loss {loss:.5f}")
 

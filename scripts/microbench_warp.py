@@ -59,7 +59,54 @@ def timeit(fn):
     return best
 
 
+B2, C2 = 32, 2  # the in-model shape: both warp directions stacked, c=2
+img2 = jax.random.normal(key, (B2, H, W, C2), jnp.float32)
+px2 = jax.random.uniform(jax.random.PRNGKey(3), (B2, H, W), jnp.float32,
+                         -2.0, W + 1.0)
+py2 = jax.random.uniform(jax.random.PRNGKey(4), (B2, H, W), jnp.float32,
+                         -2.0, H + 1.0)
+
+
+@jax.jit
+def model_fwd_n(img, px, py):
+    def body(acc, i):
+        o = warp_pallas.grid_sample_pallas(img + acc * 1e-20, px, py,
+                                           grad_first_only=True)
+        return jnp.sum(o), None
+    acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(N))
+    return acc
+
+
+@jax.jit
+def model_fwdbwd_n(img, px, py):
+    def f(im, xx, yy):
+        return jnp.sum(jnp.sin(warp_pallas.grid_sample_pallas(
+            im, xx, yy, grad_first_only=True)))
+
+    def body(acc, i):
+        l, g = jax.value_and_grad(f, argnums=(0, 1, 2))(
+            img + acc * 1e-20, px + acc * 1e-20, py + acc * 1e-20)
+        return l + jnp.sum(g[1]) + jnp.sum(g[2]), None
+    acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(N))
+    return acc
+
+
+def timeit2(fn):
+    float(fn(img2, px2, py2))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fn(img2, px2, py2))
+        best = min(best, (time.perf_counter() - t0) / N * 1e3)
+    return best
+
+
 if __name__ == "__main__":
+    mf = timeit2(model_fwd_n)
+    mfb = timeit2(model_fwdbwd_n)
+    print(f"IN-MODEL shape (B=32 c=2 grad_first): fwd {mf:.2f} ms   "
+          f"fwd+bwd {mfb:.2f} ms   bwd-only ~{mfb - mf:.2f} ms")
     f = timeit(fwd_n)
     fb = timeit(fwdbwd_n)
-    print(f"fwd {f:.2f} ms   fwd+bwd {fb:.2f} ms   bwd-only ~{fb - f:.2f} ms")
+    print(f"c=1 B=16: fwd {f:.2f} ms   fwd+bwd {fb:.2f} ms   "
+          f"bwd-only ~{fb - f:.2f} ms")

@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--block_engine", action="store_true")
     ap.add_argument("--act8", action="store_true")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--segmented_last_up", action=argparse.BooleanOptionalAction,
+                    default=True, help="profile the shipped configuration "
+                    "(bench.py passes segmented_last_up=True)")
     ap.add_argument("--trace_dir", default="/tmp/jtrace_step")
     ap.add_argument("--per_op", type=int, default=0, metavar="N",
                     help="also print the top-N individual fusions by device "
@@ -52,7 +55,8 @@ def main():
                          segmented=args.segmented, buffered=args.buffered,
                          block_packed=args.block_packed,
                          block_engine=args.block_engine, act8=args.act8,
-                         remat=args.remat)
+                         remat=args.remat,
+                         segmented_last_up=args.segmented_last_up)
     config = training.TrainConfig(lr_step_size=1000)
     state = training.create_train_state(
         model, jax.random.PRNGKey(0), (1,) + tuple(args.hw) + (3,), config)
@@ -107,20 +111,51 @@ def main():
             print(f"(no per-op name column; available: {cols})")
             return
         i_name = cols.index(name_col)
+        # measured-bandwidth column (GB/s) lets us rank by wasted ms:
+        # self_time * (1 - measured_bw / peak_bw)
+        i_bw = next((cols.index(c) for c in
+                     ("measured_memory_bw", "memory_bw", "bandwidth")
+                     if c in cols), None)
+        i_bound = cols.index("bound_by") if "bound_by" in cols else None
+        PEAK_GBS = 819.0  # v5e HBM
         ops = {}
         for row in tbl["rows"]:
             c = row["c"]
             if c[i_host]["v"] != "Device":
                 continue
             key = (c[i_name]["v"], c[i_type]["v"])
-            ops.setdefault(key, [0.0, 0])
+            ops.setdefault(key, [0.0, 0, 0.0, ""])
             ops[key][0] += float(c[i_self]["v"])
             ops[key][1] += int(c[i_occ]["v"])
-        print(f"\ntop {args.per_op} fusions by device self-time:")
-        for (name, typ), (us, occ) in sorted(
-                ops.items(), key=lambda kv: -kv[1][0])[:args.per_op]:
-            print(f"{us/1e3/args.steps:8.3f} ms/step  x{occ:<4d} "
-                  f"{typ:22s} {name[:90]}")
+            if i_bw is not None:
+                try:
+                    # time-weighted mean bandwidth across occurrences
+                    ops[key][2] += float(c[i_bw]["v"]) * float(c[i_self]["v"])
+                except (TypeError, ValueError):
+                    pass
+            if i_bound is not None:
+                ops[key][3] = c[i_bound]["v"]
+        ranked = sorted(ops.items(), key=lambda kv: -kv[1][0])
+        total_waste = 0.0
+        rows = []
+        for (name, typ), (us, occ, bw_w, bound) in ranked:
+            ms = us / 1e3 / args.steps
+            gbs = bw_w / us if us else 0.0
+            waste = ms * max(0.0, 1 - gbs / PEAK_GBS) if gbs else 0.0
+            total_waste += waste
+            rows.append((ms, occ, typ, gbs, waste, bound, name))
+        print(f"\ntotal roofline waste across all fusions: "
+              f"{total_waste:.1f} ms/step (sum of self_time x "
+              f"(1 - bw/{PEAK_GBS:.0f}GB/s))")
+        print(f"top {args.per_op} fusions by device self-time:")
+        for ms, occ, typ, gbs, waste, bound, name in rows[:args.per_op]:
+            print(f"{ms:8.3f} ms/step  x{occ:<4d} {typ:22s} {gbs:6.0f} GB/s "
+                  f"waste {waste:6.3f} ms  {bound[:12]:12s} {name[:70]}")
+        print(f"\ntop {args.per_op} fusions by roofline waste:")
+        for ms, occ, typ, gbs, waste, bound, name in sorted(
+                rows, key=lambda r: -r[4])[:args.per_op]:
+            print(f"{waste:8.3f} ms waste  {ms:7.3f} ms  x{occ:<4d} "
+                  f"{typ:22s} {gbs:6.0f} GB/s {bound[:12]:12s} {name[:64]}")
 
 
 if __name__ == "__main__":
