@@ -555,6 +555,12 @@ class TransitionUp(nn.Module):
     dtype: Dtype = jnp.float32
     packed: bool = False
     act8: bool = False
+    segment_out: bool = False  # return [up, skip] WITHOUT concatenating,
+    # for a following segment-decomposed block: the (up48|skip96) concat
+    # at the full-res level pads to 256 lanes and re-reads 671 MB physical
+    # per consuming layer; as separate segments each read is a 128-lane
+    # 335 MB buffer and the 3.9 ms concat fusion disappears (round-4
+    # profile). A/B'd by scripts/ab_step.py split_skip.
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
@@ -573,6 +579,8 @@ class TransitionUp(nn.Module):
             y = center_crop(y, skip[0].shape[1], skip[0].shape[2])
             return [y] + list(skip)
         y = center_crop(y, skip.shape[1], skip.shape[2])
+        if self.segment_out:
+            return [y, skip]
         return jnp.concatenate([y, skip], axis=-1)
 
 
@@ -639,6 +647,13 @@ class FCDenseNet(nn.Module):
     # round-2 profile) while its input stays one whole-K tensor, so the
     # lane-tax penalty that makes whole-model segmentation lose is limited
     # to the small growing new-features tensor.
+    split_last_skip: bool = False  # with segmented_last_up: the final
+    # TransitionUp passes [up, skip] as separate segments instead of
+    # materializing the 144-channel concat (which pads to 256 lanes at
+    # full resolution — 671 MB physical re-read by every up4 layer; the
+    # concat fusion itself is 3.9 ms in the round-4 profile). Trades the
+    # concat away for a K-split of each up4 conv (48+96 vs one 144) —
+    # hardware A/B decides (scripts/ab_step.py split_skip).
 
     def _segmented_at(self, name: str) -> bool:
         """Per-level segment-decomposition gate (``segmented_levels``)."""
@@ -695,10 +710,14 @@ class FCDenseNet(nn.Module):
             skip = skips.pop()
             up_channels = (out.shape[-1] if not isinstance(out, (list, tuple))
                            else sum(s.shape[-1] for s in out))
+            last = i == len(self.up_blocks) - 1
             out = TransitionUp(up_channels, dtype=self.dtype, packed=self.packed,
                                act8=self.act8,
+                               segment_out=(last and self.split_last_skip
+                                            and (self.segmented_last_up or
+                                                 self._segmented_at(
+                                                     f"denseBlocksUp{i}"))),
                                name=f"transUpBlocks{i}")(out, skip, train)
-            last = i == len(self.up_blocks) - 1
             out = block_cls(self.growth_rate, n,
                             upsample=not last,
                             dtype=self.dtype, packed=self.packed,

@@ -71,6 +71,10 @@ def main():
             from endoscopydepthestimation_pytorch_tpu.ops import act8
             act8.BWD_MODE = "saved_buf"
             flags = {"act8": True}
+        elif f == "split_skip":
+            # pseudo-flag: the shipped segmented_last_up config plus the
+            # unconcatenated [up, skip] segment input to up4
+            flags = {"segmented_last_up": True, "split_last_skip": True}
         else:
             flags = {f: True}
         ms, loss = time_step(flags, batch, dclw, hw=hw, remat=args.remat,

@@ -55,6 +55,39 @@ VARIANTS = [
     ("flash_vmem", "--xla_tpu_enable_flash_attention=false"),
 ]
 
+# Round-4 extended sweep: finer scoped-vmem scan (32M won, 64M failed to
+# compile), fusion/scheduling/MSA knobs, and combos with the 32M winner.
+# Unknown flag names fail the child at backend init and are reported
+# FAILED — cheap negative signals, by design.
+VARIANTS_EXT = [
+    ("baseline", ""),
+    ("scoped_vmem_24m", "--xla_tpu_scoped_vmem_limit_kib=24576"),
+    ("scoped_vmem_40m", "--xla_tpu_scoped_vmem_limit_kib=40960"),
+    ("scoped_vmem_48m", "--xla_tpu_scoped_vmem_limit_kib=49152"),
+    ("scoped_vmem_56m", "--xla_tpu_scoped_vmem_limit_kib=57344"),
+    ("dot_strength_red", "--xla_tpu_enable_dot_strength_reduction=false"),
+    ("dot_dot_fusion", "--xla_tpu_dot_dot_fusion=true"),
+    ("nested_loop_fusion",
+     "--xla_tpu_enable_multi_level_nested_loop_fusion=true"),
+    ("aggressive_bcast",
+     "--xla_tpu_enable_aggressive_broadcast_priority_update=true"),
+    ("msa_repeated_inst",
+     "--xla_tpu_use_repeated_instance_for_preferred_prefetch_time=true"),
+    ("copy_bw_scale_2",
+     "--xla_tpu_async_copy_bandwidth_scaling_factor=2.0"),
+    ("copy_bw_scale_05",
+     "--xla_tpu_async_copy_bandwidth_scaling_factor=0.5"),
+    ("vmem32_no_latency",
+     "--xla_tpu_scoped_vmem_limit_kib=32768 "
+     "--xla_tpu_enable_latency_hiding_scheduler=false"),
+    ("vmem32_licm10",
+     "--xla_tpu_scoped_vmem_limit_kib=32768 "
+     "--xla_tpu_licm_size_inflation_ratio=10"),
+    ("vmem32_copybw2",
+     "--xla_tpu_scoped_vmem_limit_kib=32768 "
+     "--xla_tpu_async_copy_bandwidth_scaling_factor=2.0"),
+]
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -64,8 +97,11 @@ def main():
     ap.add_argument("--extra", nargs="*", default=[],
                     help="additional raw flag strings to try (each its own "
                          "variant; quote whole string)")
+    ap.add_argument("--ext", action="store_true",
+                    help="run the round-4 extended variant list instead")
     args = ap.parse_args()
-    variants = VARIANTS + [(f"extra{i}", f) for i, f in enumerate(args.extra)]
+    base = VARIANTS_EXT if args.ext else VARIANTS
+    variants = base + [(f"extra{i}", f) for i, f in enumerate(args.extra)]
 
     base_ms = None
     for name, flags in variants:

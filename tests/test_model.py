@@ -199,3 +199,33 @@ def test_segmented_last_up_matches_default(flax_57):
         v, x, train=True, mutable=["batch_stats"]))(variables, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_split_last_skip_matches_default(flax_57):
+    """split_last_skip keeps up4's [up, skip] input as separate segments
+    (no 144-channel concat at full res); same parameter tree, same math —
+    forward AND gradient must agree with the materialized model in f32."""
+    model, variables = flax_57
+    split_model = FCDenseNet57(n_classes=1, segmented_last_up=True,
+                               split_last_skip=True)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 3))
+    y0, _ = jax.jit(lambda v, x: model.apply(
+        v, x, train=True, mutable=["batch_stats"]))(variables, x)
+    y1, _ = jax.jit(lambda v, x: split_model.apply(
+        v, x, train=True, mutable=["batch_stats"]))(variables, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(m):
+        def f(v):
+            y, _ = m.apply({**variables, "params": v["params"]}, x,
+                           train=True, mutable=["batch_stats"])
+            return jnp.mean(jnp.square(y))
+        return jax.jit(jax.grad(f))({"params": variables["params"]})
+
+    g0, g1 = loss(model), loss(split_model)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)

@@ -122,6 +122,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "ms/step on v5e — PERF.md round 3. "
                         "--no-segmented_last_up restores the materialized "
                         "block")
+    p.add_argument("--split_last_skip", action="store_true",
+                   help="with --segmented_last_up: feed up4 the [up, skip] "
+                        "pair as separate segments instead of materializing "
+                        "the 144-channel full-res concat (which pads to 256 "
+                        "lanes; the concat fusion is 3.9 ms of the step — "
+                        "round-4 profile). Hardware A/B: scripts/ab_step.py "
+                        "split_skip")
     p.add_argument("--act8", action="store_true",
                    help="fp8 (e4m3) compressed-activation backward in the "
                         "dense blocks (ops/act8.py): exact forward; each "
@@ -260,7 +267,8 @@ def main(argv=None):
                                       # saves, so act8 takes precedence
                                       segmented_last_up=(
                                           args.segmented_last_up
-                                          and not args.act8))
+                                          and not args.act8),
+                                      split_last_skip=args.split_last_skip)
     config = training.TrainConfig(
         sfl_weight=args.sfl_weight, dcl_weight=args.dcl_weight,
         max_lr=args.max_lr, min_lr=args.min_lr, lr_step_size=args.num_iter,
