@@ -102,8 +102,12 @@ def main():
     # step (20.2 ms at 168 GB/s, round-3 fusion table) — measured
     # 172.3 vs 176.4 ms/step (round 3); the whole-model segmented mode
     # still loses (PERF.md result 2).
+    # split_last_skip: additionally keep up4's [up, skip] input as two
+    # segments instead of the 144-channel full-res concat (256-lane
+    # padding) — measured 171.2 vs 172.3 at 256x320 and 445.1 vs 452.1
+    # at 512x640 (round-4 A/B, scripts/ab_step.py split_skip).
     model = FCDenseNet57(n_classes=1, dtype=jnp.bfloat16,
-                         segmented_last_up=True)
+                         segmented_last_up=True, split_last_skip=True)
     config = training.TrainConfig(lr_step_size=1000)
     state = training.create_train_state(model, jax.random.PRNGKey(0),
                                         (1, H, W, 3), config)
@@ -160,12 +164,13 @@ def main():
     inference_fps = BATCH * ITERS / (time.perf_counter() - t0)
 
     # stretch config (BASELINE.json): 512x640 train step, per-chip batch 4
-    # (bf16 + dense-block remat; batch 8/chip exceeds 16G HBM — PERF.md),
+    # (bf16, NO remat — b4 fits 16G HBM outright and runs 414.8 vs 445.1 ms
+    # with remat, round-4b; batch 8/chip needs --grad_accum 2 — PERF.md),
     # best-effort so the headline metric survives a relay/OOM hiccup here
     stretch = {}
     try:
-        s_model = FCDenseNet57(n_classes=1, dtype=jnp.bfloat16, remat=True,
-                               segmented_last_up=True)
+        s_model = FCDenseNet57(n_classes=1, dtype=jnp.bfloat16,
+                               segmented_last_up=True, split_last_skip=True)
         s_state = training.create_train_state(s_model, jax.random.PRNGKey(0),
                                               (1, 512, 640, 3), config)
         s_batch = {k: jax.device_put(jnp.asarray(v), device)

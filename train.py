@@ -122,13 +122,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "ms/step on v5e — PERF.md round 3. "
                         "--no-segmented_last_up restores the materialized "
                         "block")
-    p.add_argument("--split_last_skip", action="store_true",
+    p.add_argument("--split_last_skip", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="with --segmented_last_up: feed up4 the [up, skip] "
                         "pair as separate segments instead of materializing "
                         "the 144-channel full-res concat (which pads to 256 "
-                        "lanes; the concat fusion is 3.9 ms of the step — "
-                        "round-4 profile). Hardware A/B: scripts/ab_step.py "
-                        "split_skip")
+                        "lanes). Measured 171.2 vs 172.3 ms/step at 256x320 "
+                        "and 445.1 vs 452.1 at 512x640 (round-4 A/B, "
+                        "scripts/ab_step.py split_skip); f32 "
+                        "forward+gradient parity with the materialized "
+                        "model is asserted in tests/test_model.py")
     p.add_argument("--act8", action="store_true",
                    help="fp8 (e4m3) compressed-activation backward in the "
                         "dense blocks (ops/act8.py): exact forward; each "
