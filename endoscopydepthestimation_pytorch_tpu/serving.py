@@ -24,6 +24,33 @@ from .models import FCDenseNet57
 from .utils import checkpoint as ckpt
 
 
+def build_pjrt_host(force: bool = False) -> Path:
+    """Compile the native serving host (``native/pjrt_host.cpp``), cached
+    next to the source like the native rasterizer. Returns the binary path.
+    """
+    import subprocess
+    native_dir = Path(__file__).resolve().parents[1] / "native"
+    src, binary = native_dir / "pjrt_host.cpp", native_dir / "pjrt_host"
+    if force or not binary.exists() or (
+            binary.stat().st_mtime < src.stat().st_mtime):
+        subprocess.run(
+            ["g++", "-std=c++17", "-O2", "-o", str(binary), str(src), "-ldl"],
+            check=True, capture_output=True, cwd=native_dir)
+    return binary
+
+
+def load_exported(path):
+    """Load an artifact written by :meth:`DepthPredictor.export`.
+
+    Returns a jitted ``fn(colors) -> depth`` — ``(B, H, W, 3) float32``
+    normalized colors to ``(B, H, W, 1)`` boundary-masked depth. This is
+    the entire deployment-side dependency surface: jax + the artifact
+    bytes; no model definition, flax, orbax, or torch.
+    """
+    exported = jax.export.deserialize(Path(path).read_bytes())
+    return jax.jit(exported.call)
+
+
 class DepthPredictor:
     """Checkpoint-backed depth inference on one sequence's calibration.
 
@@ -84,6 +111,88 @@ class DepthPredictor:
     def predict_frame(self, frame) -> np.ndarray:
         colors = np.repeat(self.prepare(frame)[None], self.batch_size, axis=0)
         return self.predict_batch(colors)[0]
+
+    # -- AOT deployment artifact ---------------------------------------------
+
+    def export(self, path) -> None:
+        """Serialize this predictor as a standalone AOT artifact.
+
+        Uses ``jax.export`` to lower the jitted predict step — with the
+        trained parameters, running BN statistics, and the sequence's
+        boundary mask baked in as constants — to versioned StableHLO,
+        exported for BOTH the ``tpu`` and ``cpu`` platforms. The artifact
+        is a single file a serving host loads with :func:`load_exported`
+        (or ``jax.export.deserialize`` directly) with NO model code, flax,
+        or checkpoint machinery on the deployment side.
+
+        The batch dimension is fixed at ``self.batch_size``: depth serving
+        is a fixed-rate video pipeline, and static shapes keep the convs on
+        XLA's tiled MXU path (a symbolic batch would force re-tiling
+        decisions at run time). Input spec: ``(batch, H, W, 3) float32``
+        normalized colors; output: ``(batch, H, W, 1)`` masked depth in the
+        model's compute dtype.
+        """
+        state, boundary = self.state, self._boundary
+
+        def predict(colors):
+            return training.predict_step(state, colors, boundary) * boundary
+
+        spec = jax.ShapeDtypeStruct(
+            (self.batch_size, self.height, self.width, 3), jnp.float32)
+        exported = jax.export.export(
+            jax.jit(predict), platforms=("tpu", "cpu"))(spec)
+        Path(path).write_bytes(exported.serialize())
+
+    def export_pjrt_bundle(self, bundle_dir, platform: str = "tpu") -> None:
+        """Write a deployment bundle for the native C++ PJRT host.
+
+        Unlike :meth:`export` (a jax-consumable artifact), this targets
+        ``native/pjrt_host.cpp`` — a Python-free serving host that talks
+        straight to a PJRT plugin (libtpu.so on a TPU VM). Layout::
+
+            module.mlirbc       StableHLO portable artifact, single
+                                platform (multi-platform modules take a
+                                platform-index argument the C host would
+                                have to thread through)
+            compile_options.pb  serialized xla CompileOptionsProto
+                                (1 replica, 1 partition), produced here so
+                                the host needs no protobuf dependency
+            meta.txt            key=value input/output specs parsed by the
+                                host (shapes, dtypes)
+
+        The exported function casts the depth output to float32 so
+        consumers never see bf16 on the host side.
+        """
+        from jax._src.lib import xla_client
+
+        state, boundary = self.state, self._boundary
+
+        def predict(colors):
+            depth = training.predict_step(state, colors, boundary) * boundary
+            return depth.astype(jnp.float32)
+
+        spec = jax.ShapeDtypeStruct(
+            (self.batch_size, self.height, self.width, 3), jnp.float32)
+        exported = jax.export.export(
+            jax.jit(predict), platforms=(platform,))(spec)
+
+        bundle = Path(bundle_dir)
+        bundle.mkdir(parents=True, exist_ok=True)
+        (bundle / "module.mlirbc").write_bytes(exported.mlir_module_serialized)
+        (bundle / "compile_options.pb").write_bytes(
+            xla_client.CompileOptions().SerializeAsString())
+
+        def fmt(aval):
+            shape = ",".join(str(d) for d in aval.shape)
+            return shape, np.dtype(aval.dtype).name
+        lines = [f"platform={platform}"]
+        for i, aval in enumerate(exported.in_avals):
+            shape, dtype = fmt(aval)
+            lines += [f"input{i}_shape={shape}", f"input{i}_dtype={dtype}"]
+        for i, aval in enumerate(exported.out_avals):
+            shape, dtype = fmt(aval)
+            lines += [f"output{i}_shape={shape}", f"output{i}_dtype={dtype}"]
+        (bundle / "meta.txt").write_text("\n".join(lines) + "\n")
 
     def stream(self, frames: Iterable, prefetch: int = 2
                ) -> Iterator[Tuple[int, np.ndarray]]:

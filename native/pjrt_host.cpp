@@ -1,0 +1,448 @@
+// pjrt_host — Python-free serving host over the PJRT C API.
+//
+// Loads a deployment bundle written by
+// serving.DepthPredictor.export_pjrt_bundle() (a StableHLO portable
+// artifact + serialized compile options + a key=value meta file), dlopens
+// a PJRT plugin (libtpu.so on a TPU VM; any GetPjrtApi-exporting .so),
+// compiles the module, and serves it: one-shot file in/out, or a timed
+// benchmark loop. The deployment-side dependency surface is exactly this
+// file, the vendored public pjrt_c_api.h, and the plugin.
+//
+// The reference ships no serving path at all (its test phase re-runs the
+// full evaluation script, reference evaluate.py:279-346); this is the
+// TPU-native production equivalent the rebuild adds on top.
+//
+// Build: g++ -std=c++17 -O2 -o pjrt_host pjrt_host.cpp -ldl
+// Usage:
+//   pjrt_host --plugin libtpu.so --bundle <dir> [--iters 20] [--warmup 3]
+//             [--input raw.bin] [--output depth.bin]
+//             [--option key=type:value ...]     (types: s, i, b)
+//
+// Benchmark timing note: through proxy plugins (e.g. a relay) completion
+// events can resolve early, so the loop is synced the same way the Python
+// benchmarks are — chain N executes, read the output back once, divide.
+// A separately-measured readback is subtracted and reported.
+#include <dlfcn.h>
+
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <map>
+#include <sstream>
+#include <string>
+#include <vector>
+
+#include "third_party/pjrt/pjrt_c_api.h"
+
+namespace {
+
+const PJRT_Api* g_api = nullptr;
+
+void die(const std::string& msg) {
+  fprintf(stderr, "pjrt_host: %s\n", msg.c_str());
+  exit(1);
+}
+
+void check(PJRT_Error* err, const char* what) {
+  if (err == nullptr) return;
+  PJRT_Error_Message_Args margs;
+  memset(&margs, 0, sizeof(margs));
+  margs.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
+  margs.error = err;
+  g_api->PJRT_Error_Message(&margs);
+  std::string msg(margs.message, margs.message_size);
+  PJRT_Error_Destroy_Args dargs;
+  memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+  dargs.error = err;
+  g_api->PJRT_Error_Destroy(&dargs);
+  die(std::string(what) + ": " + msg);
+}
+
+void await_event(PJRT_Event* event, const char* what) {
+  if (event == nullptr) return;
+  PJRT_Event_Await_Args aargs;
+  memset(&aargs, 0, sizeof(aargs));
+  aargs.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+  aargs.event = event;
+  check(g_api->PJRT_Event_Await(&aargs), what);
+  PJRT_Event_Destroy_Args dargs;
+  memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+  dargs.event = event;
+  check(g_api->PJRT_Event_Destroy(&dargs), "Event_Destroy");
+}
+
+std::string read_file(const std::string& path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) die("cannot read " + path);
+  std::ostringstream ss;
+  ss << f.rdbuf();
+  return ss.str();
+}
+
+struct TensorSpec {
+  std::vector<int64_t> dims;
+  std::string dtype;
+  size_t bytes() const {
+    size_t n = dtype_size();
+    for (int64_t d : dims) n *= static_cast<size_t>(d);
+    return n;
+  }
+  size_t dtype_size() const {
+    if (dtype == "float32" || dtype == "int32" || dtype == "uint32") return 4;
+    if (dtype == "bfloat16" || dtype == "float16" || dtype == "int16")
+      return 2;
+    if (dtype == "float64" || dtype == "int64") return 8;
+    if (dtype == "int8" || dtype == "uint8" || dtype == "bool") return 1;
+    die("unsupported dtype " + dtype);
+    return 0;
+  }
+  PJRT_Buffer_Type pjrt_type() const {
+    if (dtype == "float32") return PJRT_Buffer_Type_F32;
+    if (dtype == "bfloat16") return PJRT_Buffer_Type_BF16;
+    if (dtype == "float16") return PJRT_Buffer_Type_F16;
+    if (dtype == "float64") return PJRT_Buffer_Type_F64;
+    if (dtype == "int32") return PJRT_Buffer_Type_S32;
+    if (dtype == "int64") return PJRT_Buffer_Type_S64;
+    if (dtype == "int8") return PJRT_Buffer_Type_S8;
+    if (dtype == "uint8") return PJRT_Buffer_Type_U8;
+    if (dtype == "bool") return PJRT_Buffer_Type_PRED;
+    die("unsupported dtype " + dtype);
+    return PJRT_Buffer_Type_INVALID;
+  }
+};
+
+// meta.txt: key=value lines; inputN_shape=8,256,320,3 / inputN_dtype=float32
+struct Meta {
+  std::string platform;
+  std::vector<TensorSpec> inputs, outputs;
+};
+
+Meta parse_meta(const std::string& text) {
+  std::map<std::string, std::string> kv;
+  std::istringstream ss(text);
+  std::string line;
+  while (std::getline(ss, line)) {
+    size_t eq = line.find('=');
+    if (eq != std::string::npos)
+      kv[line.substr(0, eq)] = line.substr(eq + 1);
+  }
+  Meta meta;
+  meta.platform = kv.count("platform") ? kv["platform"] : "?";
+  for (const char* kind : {"input", "output"}) {
+    auto& list = strcmp(kind, "input") == 0 ? meta.inputs : meta.outputs;
+    for (int i = 0;; ++i) {
+      std::string base = std::string(kind) + std::to_string(i);
+      auto shape_it = kv.find(base + "_shape");
+      if (shape_it == kv.end()) break;
+      TensorSpec spec;
+      std::istringstream dims(shape_it->second);
+      std::string d;
+      while (std::getline(dims, d, ','))
+        if (!d.empty()) spec.dims.push_back(strtoll(d.c_str(), nullptr, 10));
+      spec.dtype = kv.count(base + "_dtype") ? kv[base + "_dtype"] : "float32";
+      list.push_back(spec);
+    }
+  }
+  if (meta.inputs.empty() || meta.outputs.empty())
+    die("meta.txt lists no inputs or no outputs");
+  return meta;
+}
+
+// key=type:value (types: s/i/b), strings kept alive in the pools
+PJRT_NamedValue parse_option(const std::string& arg,
+                             std::vector<std::string>* pool) {
+  size_t eq = arg.find('=');
+  size_t co = arg.find(':', eq);
+  if (eq == std::string::npos || co == std::string::npos || co != eq + 2)
+    die("bad --option " + arg + " (want key=type:value, types s/i/b)");
+  pool->push_back(arg.substr(0, eq));
+  const std::string& key = pool->back();
+  char type = arg[eq + 1];
+  pool->push_back(arg.substr(co + 1));
+  const std::string& val = pool->back();
+  PJRT_NamedValue v;
+  memset(&v, 0, sizeof(v));
+  v.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+  v.name = key.c_str();
+  v.name_size = key.size();
+  v.value_size = 1;
+  if (type == 's') {
+    v.type = PJRT_NamedValue_kString;
+    v.string_value = val.c_str();
+    v.value_size = val.size();
+  } else if (type == 'i') {
+    v.type = PJRT_NamedValue_kInt64;
+    v.int64_value = strtoll(val.c_str(), nullptr, 10);
+  } else if (type == 'b') {
+    v.type = PJRT_NamedValue_kBool;
+    v.bool_value = (val == "1" || val == "true");
+  } else {
+    die("bad option type in " + arg);
+  }
+  return v;
+}
+
+PJRT_Buffer* to_device(PJRT_Client* client, PJRT_Device* device,
+                       const TensorSpec& spec, const void* data) {
+  PJRT_Client_BufferFromHostBuffer_Args args;
+  memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+  args.client = client;
+  args.data = data;
+  args.type = spec.pjrt_type();
+  args.dims = spec.dims.data();
+  args.num_dims = spec.dims.size();
+  args.host_buffer_semantics =
+      PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+  args.device = device;
+  check(g_api->PJRT_Client_BufferFromHostBuffer(&args), "BufferFromHostBuffer");
+  await_event(args.done_with_host_buffer, "h2d transfer");
+  return args.buffer;
+}
+
+void destroy_buffer(PJRT_Buffer* buffer) {
+  PJRT_Buffer_Destroy_Args args;
+  memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+  args.buffer = buffer;
+  check(g_api->PJRT_Buffer_Destroy(&args), "Buffer_Destroy");
+}
+
+void to_host(PJRT_Buffer* buffer, const TensorSpec& spec, void* dst,
+             size_t dst_size) {
+  // With a null host_layout the copy arrives in the buffer's DEVICE
+  // layout — the TPU compiler is free to pick a transposed physical
+  // order for outputs — so always request dense row-major explicitly.
+  // Expressed as a Tiled layout with minor_to_major {rank-1, ..., 0} and
+  // no tiles: plugins reject the Strides form here (jax's own ToLiteral
+  // path always sends Tiled).
+  std::vector<int64_t> minor_to_major(spec.dims.size());
+  for (size_t i = 0; i < spec.dims.size(); ++i)
+    minor_to_major[i] = static_cast<int64_t>(spec.dims.size() - 1 - i);
+  PJRT_Buffer_MemoryLayout layout;
+  memset(&layout, 0, sizeof(layout));
+  layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+  layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+  layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+  layout.tiled.minor_to_major = minor_to_major.data();
+  layout.tiled.minor_to_major_size = minor_to_major.size();
+
+  PJRT_Buffer_ToHostBuffer_Args args;
+  memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+  args.src = buffer;
+  args.host_layout = &layout;
+  args.dst = dst;
+  args.dst_size = dst_size;
+  check(g_api->PJRT_Buffer_ToHostBuffer(&args), "ToHostBuffer");
+  await_event(args.event, "d2h transfer");
+}
+
+double now_ms() {
+  return std::chrono::duration<double, std::milli>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  std::string plugin_path, bundle_dir, input_path, output_path;
+  int iters = 20, warmup = 3;
+  std::vector<std::string> pool;
+  std::vector<PJRT_NamedValue> options;
+  pool.reserve(2 * argc + 4);  // parse_option keeps pointers into pool
+  for (int i = 1; i < argc; ++i) {
+    std::string a = argv[i];
+    auto next = [&]() -> std::string {
+      if (++i >= argc) die("missing value for " + a);
+      return argv[i];
+    };
+    if (a == "--plugin") plugin_path = next();
+    else if (a == "--bundle") bundle_dir = next();
+    else if (a == "--input") input_path = next();
+    else if (a == "--output") output_path = next();
+    else if (a == "--iters") iters = atoi(next().c_str());
+    else if (a == "--warmup") warmup = atoi(next().c_str());
+    else if (a == "--option") options.push_back(parse_option(next(), &pool));
+    else if (a == "--help" || a == "-h") {
+      printf("usage: pjrt_host --plugin <pjrt_plugin.so> --bundle <dir> "
+             "[--iters N] [--warmup K] [--input raw.bin] [--output out.bin] "
+             "[--option key=type:value ...]\n");
+      return 0;
+    } else {
+      die("unknown arg " + a);
+    }
+  }
+  if (plugin_path.empty() || bundle_dir.empty())
+    die("--plugin and --bundle are required (see --help)");
+
+  Meta meta = parse_meta(read_file(bundle_dir + "/meta.txt"));
+  std::string module = read_file(bundle_dir + "/module.mlirbc");
+  std::string compile_options = read_file(bundle_dir + "/compile_options.pb");
+
+  void* lib = dlopen(plugin_path.c_str(), RTLD_NOW | RTLD_LOCAL);
+  if (!lib) die(std::string("dlopen: ") + dlerror());
+  auto get_api =
+      reinterpret_cast<const PJRT_Api* (*)()>(dlsym(lib, "GetPjrtApi"));
+  if (!get_api) die(std::string("GetPjrtApi: ") + dlerror());
+  g_api = get_api();
+  fprintf(stderr, "pjrt api %d.%d, bundle platform %s\n",
+          g_api->pjrt_api_version.major_version,
+          g_api->pjrt_api_version.minor_version, meta.platform.c_str());
+
+  PJRT_Plugin_Initialize_Args init;
+  memset(&init, 0, sizeof(init));
+  init.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
+  check(g_api->PJRT_Plugin_Initialize(&init), "Plugin_Initialize");
+
+  PJRT_Client_Create_Args cargs;
+  memset(&cargs, 0, sizeof(cargs));
+  cargs.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  cargs.create_options = options.data();
+  cargs.num_options = options.size();
+  check(g_api->PJRT_Client_Create(&cargs), "Client_Create");
+  PJRT_Client* client = cargs.client;
+
+  PJRT_Client_AddressableDevices_Args dargs;
+  memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
+  dargs.client = client;
+  check(g_api->PJRT_Client_AddressableDevices(&dargs), "AddressableDevices");
+  if (dargs.num_addressable_devices == 0) die("no addressable devices");
+  PJRT_Device* device = dargs.addressable_devices[0];
+
+  // compile the StableHLO portable artifact
+  double t_compile0 = now_ms();
+  PJRT_Program program;
+  memset(&program, 0, sizeof(program));
+  program.struct_size = PJRT_Program_STRUCT_SIZE;
+  program.code = module.data();
+  program.code_size = module.size();
+  static const char kFormat[] = "mlir";
+  program.format = kFormat;
+  program.format_size = sizeof(kFormat) - 1;
+  PJRT_Client_Compile_Args comp;
+  memset(&comp, 0, sizeof(comp));
+  comp.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+  comp.client = client;
+  comp.program = &program;
+  comp.compile_options = compile_options.data();
+  comp.compile_options_size = compile_options.size();
+  check(g_api->PJRT_Client_Compile(&comp), "Client_Compile");
+  PJRT_LoadedExecutable* exec = comp.executable;
+  double compile_ms = now_ms() - t_compile0;
+
+  PJRT_LoadedExecutable_GetExecutable_Args ge;
+  memset(&ge, 0, sizeof(ge));
+  ge.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+  ge.loaded_executable = exec;
+  check(g_api->PJRT_LoadedExecutable_GetExecutable(&ge), "GetExecutable");
+  PJRT_Executable_NumOutputs_Args no;
+  memset(&no, 0, sizeof(no));
+  no.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+  no.executable = ge.executable;
+  check(g_api->PJRT_Executable_NumOutputs(&no), "NumOutputs");
+  size_t num_outputs = no.num_outputs;
+  PJRT_Executable_Destroy_Args ed;
+  memset(&ed, 0, sizeof(ed));
+  ed.struct_size = PJRT_Executable_Destroy_Args_STRUCT_SIZE;
+  ed.executable = ge.executable;
+  check(g_api->PJRT_Executable_Destroy(&ed), "Executable_Destroy");
+  if (num_outputs != meta.outputs.size())
+    die("executable outputs " + std::to_string(num_outputs) +
+        " != meta outputs " + std::to_string(meta.outputs.size()));
+
+  // stage inputs: --input supplies input0 (raw bytes, dense major-to-minor);
+  // remaining inputs are zero-filled (benchmark mode)
+  std::vector<PJRT_Buffer*> input_buffers;
+  for (size_t i = 0; i < meta.inputs.size(); ++i) {
+    const TensorSpec& spec = meta.inputs[i];
+    std::string host(spec.bytes(), '\0');
+    if (i == 0 && !input_path.empty()) {
+      host = read_file(input_path);
+      if (host.size() != spec.bytes())
+        die("--input size " + std::to_string(host.size()) + " != expected " +
+            std::to_string(spec.bytes()));
+    }
+    input_buffers.push_back(to_device(client, device, spec, host.data()));
+  }
+
+  PJRT_ExecuteOptions exec_options;
+  memset(&exec_options, 0, sizeof(exec_options));
+  exec_options.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+
+  std::vector<PJRT_Buffer*> out_inner(num_outputs, nullptr);
+  PJRT_Buffer** output_lists[1] = {out_inner.data()};
+  PJRT_Buffer* const* argument_lists[1] = {input_buffers.data()};
+
+  auto run_once = [&](std::vector<PJRT_Buffer*>* prev) {
+    PJRT_LoadedExecutable_Execute_Args ex;
+    memset(&ex, 0, sizeof(ex));
+    ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+    ex.executable = exec;
+    ex.options = &exec_options;
+    ex.argument_lists = argument_lists;
+    ex.num_devices = 1;
+    ex.num_args = input_buffers.size();
+    ex.output_lists = output_lists;
+    check(g_api->PJRT_LoadedExecutable_Execute(&ex), "Execute");
+    if (prev)
+      for (PJRT_Buffer* b : *prev)
+        if (b) destroy_buffer(b);
+    if (prev) *prev = out_inner;
+  };
+
+  std::vector<PJRT_Buffer*> live(num_outputs, nullptr);
+  std::string result(meta.outputs[0].bytes(), '\0');
+
+  // warmup (includes any lazy device work) + one readback to settle
+  for (int i = 0; i < warmup; ++i) run_once(&live);
+  to_host(live[0], meta.outputs[0], result.data(), result.size());
+
+  // measure a lone readback so the loop's single sync can be subtracted
+  double t_rb0 = now_ms();
+  to_host(live[0], meta.outputs[0], result.data(), result.size());
+  double readback_ms = now_ms() - t_rb0;
+
+  // timed loop: chain executes, sync once via the output readback
+  double t0 = now_ms();
+  for (int i = 0; i < iters; ++i) run_once(&live);
+  to_host(live[0], meta.outputs[0], result.data(), result.size());
+  double total_ms = now_ms() - t0;
+  double per_iter = (total_ms - readback_ms) / iters;
+
+  if (!output_path.empty()) {
+    std::ofstream out(output_path, std::ios::binary);
+    out.write(result.data(), result.size());
+    if (!out) die("cannot write " + output_path);
+  }
+
+  int64_t batch = meta.inputs[0].dims.empty() ? 1 : meta.inputs[0].dims[0];
+  printf(
+      "{\"metric\": \"pjrt_host_latency\", \"value\": %.3f, \"unit\": "
+      "\"ms/batch\", \"batch\": %lld, \"fps\": %.2f, \"iters\": %d, "
+      "\"compile_ms\": %.1f, \"readback_ms\": %.3f, \"outputs\": %zu}\n",
+      per_iter, static_cast<long long>(batch),
+      1000.0 * static_cast<double>(batch) / per_iter, iters, compile_ms,
+      readback_ms, num_outputs);
+
+  for (PJRT_Buffer* b : live)
+    if (b) destroy_buffer(b);
+  for (PJRT_Buffer* b : input_buffers) destroy_buffer(b);
+  PJRT_LoadedExecutable_Destroy_Args xd;
+  memset(&xd, 0, sizeof(xd));
+  xd.struct_size = PJRT_LoadedExecutable_Destroy_Args_STRUCT_SIZE;
+  xd.executable = exec;
+  check(g_api->PJRT_LoadedExecutable_Destroy(&xd), "LoadedExecutable_Destroy");
+  PJRT_Client_Destroy_Args cd;
+  memset(&cd, 0, sizeof(cd));
+  cd.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;
+  cd.client = client;
+  check(g_api->PJRT_Client_Destroy(&cd), "Client_Destroy");
+  return 0;
+}

@@ -37,3 +37,46 @@ def test_stream_ordered_and_consistent(predictor, fixture_seq):
     assert [i for i, _ in results] == [0, 1, 2, 3, 4]  # ragged tail included
     direct = predictor.predict_frame(frames[2])
     np.testing.assert_allclose(results[2][1], direct, rtol=1e-5, atol=1e-6)
+
+
+def test_pjrt_bundle_export(predictor, tmp_path):
+    """The native-host bundle carries a valid single-platform StableHLO
+    artifact plus the specs the C++ host parses. Execution against a real
+    plugin is hardware-gated (scripts/serve_pjrt_e2e.py)."""
+    bundle = tmp_path / "bundle"
+    predictor.export_pjrt_bundle(bundle, platform="cpu")
+
+    module = (bundle / "module.mlirbc").read_bytes()
+    assert module[:4] == b"ML\xefR"  # MLIR bytecode magic
+    assert (bundle / "compile_options.pb").stat().st_size > 0
+
+    meta = dict(line.split("=", 1) for line in
+                (bundle / "meta.txt").read_text().splitlines())
+    assert meta["platform"] == "cpu"
+    assert meta["input0_shape"] == "2,256,320,3"
+    assert meta["input0_dtype"] == "float32"
+    assert meta["output0_shape"] == "2,256,320,1"
+    assert meta["output0_dtype"] == "float32"  # host never sees bf16
+
+    binary = serving.build_pjrt_host()
+    import subprocess
+    out = subprocess.run([str(binary), "--help"], capture_output=True,
+                         text=True, timeout=60)
+    assert out.returncode == 0 and "--bundle" in out.stdout
+
+
+def test_export_round_trip(predictor, fixture_seq, tmp_path):
+    """AOT artifact (jax.export) reproduces the live predictor with no
+    model code on the load side."""
+    path = tmp_path / "depth_predictor.jaxexp"
+    predictor.export(path)
+    assert path.stat().st_size > 1000  # params baked in as constants
+
+    fn = serving.load_exported(path)
+    colors = np.stack([predictor.prepare(fixture_seq / f"{i:08d}.jpg")
+                       for i in (4584, 4585)])
+    exported_depth = np.asarray(fn(jnp.asarray(colors)))[..., 0]
+    direct = predictor.predict_batch(colors)
+    # the AOT artifact compiles through a different pipeline than live jit
+    # (different fusion/rounding order), so allow ~1 ulp-of-fusion slack
+    np.testing.assert_allclose(exported_depth, direct, rtol=1e-4, atol=1e-5)
