@@ -253,6 +253,7 @@ double now_ms() {
 int main(int argc, char** argv) {
   std::string plugin_path, bundle_dir, input_path, output_path;
   int iters = 20, warmup = 3;
+  bool stream_mode = false;
   std::vector<std::string> pool;
   std::vector<PJRT_NamedValue> options;
   pool.reserve(2 * argc + 4);  // parse_option keeps pointers into pool
@@ -266,12 +267,14 @@ int main(int argc, char** argv) {
     else if (a == "--bundle") bundle_dir = next();
     else if (a == "--input") input_path = next();
     else if (a == "--output") output_path = next();
+    else if (a == "--stream") stream_mode = true;
     else if (a == "--iters") iters = atoi(next().c_str());
     else if (a == "--warmup") warmup = atoi(next().c_str());
     else if (a == "--option") options.push_back(parse_option(next(), &pool));
     else if (a == "--help" || a == "-h") {
       printf("usage: pjrt_host --plugin <pjrt_plugin.so> --bundle <dir> "
              "[--iters N] [--warmup K] [--input raw.bin] [--output out.bin] "
+             "[--stream] "
              "[--option key=type:value ...]\n");
       return 0;
     } else {
@@ -396,6 +399,53 @@ int main(int argc, char** argv) {
         if (b) destroy_buffer(b);
     if (prev) *prev = out_inner;
   };
+
+  if (stream_mode) {
+    // Video-pipeline serving: consecutive input0-sized raw batches on
+    // stdin, output0 batches on stdout, double-buffered — batch t executes
+    // on device while batch t-1's result is read back and written (the
+    // native twin of serving.DepthPredictor.stream). Stats go to stderr.
+    const TensorSpec& in0 = meta.inputs[0];
+    const TensorSpec& out0 = meta.outputs[0];
+    std::string in_host(in0.bytes(), '\0');
+    std::string out_host(out0.bytes(), '\0');
+    std::vector<PJRT_Buffer*> pending;
+    size_t batches = 0;
+    double t0 = now_ms();
+    for (;;) {
+      size_t got = fread(in_host.data(), 1, in_host.size(), stdin);
+      if (got == 0) break;
+      if (got != in_host.size())
+        die("stream: partial input batch (" + std::to_string(got) + " of " +
+            std::to_string(in_host.size()) + " bytes)");
+      destroy_buffer(input_buffers[0]);
+      input_buffers[0] = to_device(client, device, in0, in_host.data());
+      run_once(nullptr);
+      if (!pending.empty()) {
+        to_host(pending[0], out0, out_host.data(), out_host.size());
+        fwrite(out_host.data(), 1, out_host.size(), stdout);
+        fflush(stdout);
+        for (PJRT_Buffer* b : pending) destroy_buffer(b);
+      }
+      pending.assign(out_inner.begin(), out_inner.end());
+      ++batches;
+    }
+    if (!pending.empty()) {
+      to_host(pending[0], out0, out_host.data(), out_host.size());
+      fwrite(out_host.data(), 1, out_host.size(), stdout);
+      fflush(stdout);
+      for (PJRT_Buffer* b : pending) destroy_buffer(b);
+    }
+    double total_ms = now_ms() - t0;
+    fprintf(stderr,
+            "{\"metric\": \"pjrt_host_stream\", \"batches\": %zu, "
+            "\"total_ms\": %.1f, \"ms_per_batch\": %.3f, "
+            "\"compile_ms\": %.1f}\n",
+            batches, total_ms, batches ? total_ms / batches : 0.0,
+            compile_ms);
+    for (PJRT_Buffer* b : input_buffers) destroy_buffer(b);
+    return 0;
+  }
 
   std::vector<PJRT_Buffer*> live(num_outputs, nullptr);
   std::string result(meta.outputs[0].bytes(), '\0');
