@@ -253,7 +253,7 @@ double now_ms() {
 int main(int argc, char** argv) {
   std::string plugin_path, bundle_dir, input_path, output_path;
   int iters = 20, warmup = 3;
-  bool stream_mode = false;
+  bool stream_mode = false, parse_only = false;
   std::vector<std::string> pool;
   std::vector<PJRT_NamedValue> options;
   pool.reserve(2 * argc + 4);  // parse_option keeps pointers into pool
@@ -268,25 +268,39 @@ int main(int argc, char** argv) {
     else if (a == "--input") input_path = next();
     else if (a == "--output") output_path = next();
     else if (a == "--stream") stream_mode = true;
+    else if (a == "--parse-only") parse_only = true;
     else if (a == "--iters") iters = atoi(next().c_str());
     else if (a == "--warmup") warmup = atoi(next().c_str());
     else if (a == "--option") options.push_back(parse_option(next(), &pool));
     else if (a == "--help" || a == "-h") {
       printf("usage: pjrt_host --plugin <pjrt_plugin.so> --bundle <dir> "
              "[--iters N] [--warmup K] [--input raw.bin] [--output out.bin] "
-             "[--stream] "
+             "[--stream] [--parse-only] "
              "[--option key=type:value ...]\n");
       return 0;
     } else {
       die("unknown arg " + a);
     }
   }
-  if (plugin_path.empty() || bundle_dir.empty())
+  if (bundle_dir.empty() || (plugin_path.empty() && !parse_only))
     die("--plugin and --bundle are required (see --help)");
 
   Meta meta = parse_meta(read_file(bundle_dir + "/meta.txt"));
   std::string module = read_file(bundle_dir + "/module.mlirbc");
   std::string compile_options = read_file(bundle_dir + "/compile_options.pb");
+  if (parse_only) {
+    // bundle-contract check without a plugin (CI-testable on any host):
+    // files readable, module magic, specs parsed and sized
+    if (module.size() < 4 || module.compare(0, 4, "ML\xefR", 4) != 0)
+      die("module.mlirbc lacks the MLIR bytecode magic");
+    if (compile_options.empty()) die("compile_options.pb is empty");
+    printf("{\"platform\": \"%s\", \"inputs\": %zu, \"outputs\": %zu, "
+           "\"input0_bytes\": %zu, \"output0_bytes\": %zu, "
+           "\"module_bytes\": %zu}\n",
+           meta.platform.c_str(), meta.inputs.size(), meta.outputs.size(),
+           meta.inputs[0].bytes(), meta.outputs[0].bytes(), module.size());
+    return 0;
+  }
 
   void* lib = dlopen(plugin_path.c_str(), RTLD_NOW | RTLD_LOCAL);
   if (!lib) die(std::string("dlopen: ") + dlerror());

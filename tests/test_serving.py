@@ -59,10 +59,21 @@ def test_pjrt_bundle_export(predictor, tmp_path):
     assert meta["output0_dtype"] == "float32"  # host never sees bf16
 
     binary = serving.build_pjrt_host()
+    import json
     import subprocess
     out = subprocess.run([str(binary), "--help"], capture_output=True,
                          text=True, timeout=60)
     assert out.returncode == 0 and "--bundle" in out.stdout
+
+    # the host's own bundle-contract check (no plugin needed)
+    out = subprocess.run([str(binary), "--parse-only", "--bundle",
+                          str(bundle)], capture_output=True, text=True,
+                         timeout=60)
+    assert out.returncode == 0, out.stderr
+    parsed = json.loads(out.stdout)
+    assert parsed["inputs"] == 1 and parsed["outputs"] == 1
+    assert parsed["input0_bytes"] == 2 * 256 * 320 * 3 * 4
+    assert parsed["output0_bytes"] == 2 * 256 * 320 * 1 * 4
 
 
 def test_export_round_trip(predictor, fixture_seq, tmp_path):
