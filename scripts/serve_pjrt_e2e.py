@@ -113,6 +113,30 @@ def main():
     if not ok:
         sys.exit("parity FAIL: TPU host output deviates from CPU reference")
 
+    # --stream leg: 2 batches (original, batch-flipped) through the
+    # double-buffered stdin/stdout pipeline; per-sample determinism means
+    # batch 0 must be BIT-identical to the one-shot output
+    frames2 = np.concatenate([colors, colors[::-1]]).astype(np.float32)
+    frames2.tofile(work / "stream_in.bin")
+    cmd2 = [str(host), "--plugin", args.plugin, "--bundle", str(bundle),
+            "--stream"]
+    for opt in (AXON_OPTIONS if "axon" in args.plugin else []):
+        cmd2 += ["--option", opt]
+    print("+", " ".join(cmd2), "< stream_in.bin", flush=True)
+    with open(work / "stream_in.bin", "rb") as fin, \
+            open(work / "stream_out.bin", "wb") as fout:
+        proc2 = subprocess.run(cmd2, stdin=fin, stdout=fout,
+                               stderr=subprocess.PIPE, text=False,
+                               timeout=900)
+    sys.stderr.write(proc2.stderr.decode())
+    if proc2.returncode != 0:
+        sys.exit(f"pjrt_host --stream failed rc={proc2.returncode}")
+    streamed = np.fromfile(work / "stream_out.bin", np.float32).reshape(
+        2, args.batch, 256, 320)
+    assert np.array_equal(streamed[0], got), "stream batch0 != one-shot"
+    assert np.array_equal(streamed[1], got[::-1]), "stream batch1 mismatch"
+    print(json.dumps({"stream": "OK", "stream_batches": 2}))
+
 
 if __name__ == "__main__":
     main()
