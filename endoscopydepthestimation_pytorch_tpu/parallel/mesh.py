@@ -41,6 +41,17 @@ def make_mesh_for_batch(batch_size: int, devices: Optional[Sequence] = None,
     (a 2-sample debug batch on an 8-chip host uses 2 chips, not 8)."""
     devices = list(devices) if devices is not None else jax.devices()
     n = len(devices)
+    if jax.process_count() > 1 and batch_size % n != 0:
+        # Multi-host, trimming is not an option: the loader hands each
+        # process batch/process_count contiguous rows, and
+        # ``make_array_from_process_local_data`` needs every process's
+        # local rows to equal its addressable shard rows — a trimmed mesh
+        # (e.g. 2 hosts x 4 devices, batch 6 -> 6-device mesh wanting 4
+        # rows from host 0 while its loader supplies 3) fails later with
+        # an opaque shard-shape error. Fail clearly at startup instead.
+        raise ValueError(
+            f"multi-host: global batch_size {batch_size} must be divisible "
+            f"by the global device count {n}")
     while n > 1 and batch_size % n != 0:
         n -= 1
     return Mesh(np.asarray(devices[:n]), (axis_name,))
@@ -89,6 +100,19 @@ def host_local(x) -> np.ndarray:
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
+def host_local_rows(x, process_index: int, local_rows: int) -> np.ndarray:
+    """This host's ``local_rows`` batch rows of ``x``, whether the compiler
+    returned it batch-sharded (``host_local`` already yields local rows) or
+    replicated (slice this process's contiguous block — ``shard_batch``
+    assembles the global batch in process order, so process p's rows are
+    ``[p*local_rows, (p+1)*local_rows)``). Used for image outputs on
+    display steps, whose output sharding is compiler-chosen."""
+    out = host_local(x)
+    if out.shape[0] != local_rows:
+        out = out[process_index * local_rows:(process_index + 1) * local_rows]
+    return out
+
+
 def multihost_barrier(name: str, timeout_ms: int = 600_000) -> None:
     """Barrier through the coordination service (gRPC KV store).
 
@@ -100,8 +124,21 @@ def multihost_barrier(name: str, timeout_ms: int = 600_000) -> None:
     hit the same 30 s deadline.)"""
     if jax.process_count() <= 1:
         return
-    from jax._src import distributed
-    distributed.global_state.client.wait_at_barrier(name, timeout_ms)
+    try:
+        from jax._src import distributed
+        client = distributed.global_state.client
+        client.wait_at_barrier(name, timeout_ms)
+    except (ImportError, AttributeError):
+        # jax._src is private and can move between releases; degrade to the
+        # public sync (which IS a Gloo/backend collective with its own
+        # shorter deadline) instead of taking down every multi-host run
+        import warnings
+        warnings.warn(
+            "multihost_barrier: jax._src.distributed API unavailable; "
+            "falling back to multihost_utils.sync_global_devices "
+            "(shorter rendezvous deadline)", RuntimeWarning)
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
 
 
 def replicate_state(state: training.TrainState, mesh: Mesh) -> training.TrainState:

@@ -120,7 +120,10 @@ def run_validation(args, log_root, height, width):
         use_store_data=args.load_intermediate_data, store_data_root=data_root,
         phase="validation", is_hsv=args.use_hsv_colorspace,
         num_pre_workers=args.num_pre_workers, rgb_mode=args.rgb_mode)
-    loader = BatchLoader(dataset, args.batch_size, shuffle=False, drop_last=False)
+    # num_workers: host loader threads (the reference passes its flag to
+    # DataLoader, evaluate.py:262-265 there); BatchLoader caps at core count
+    loader = BatchLoader(dataset, args.batch_size, shuffle=False,
+                         drop_last=False, num_workers=args.num_workers)
 
     state, config = _make_state(args, height, width)
     eval_fn = training.make_jit_eval_step(config, with_images=True)

@@ -31,6 +31,7 @@ from endoscopydepthestimation_pytorch_tpu.models import (FCDenseNet57, FCDenseNe
                                                          FCDenseNet103)
 from endoscopydepthestimation_pytorch_tpu.parallel import (device_prefetch,
                                                            host_local,
+                                                           host_local_rows,
                                                            make_mesh_for_batch,
                                                            make_parallel_eval_step,
                                                            make_parallel_train_step,
@@ -249,10 +250,15 @@ def main(argv=None):
         phase="validation", is_hsv=args.use_hsv_colorspace,
         num_pre_workers=args.num_pre_workers, rgb_mode=args.rgb_mode)
 
+    # num_workers: host loader threads (the reference's DataLoader workers,
+    # train.py:186-189 there); BatchLoader additionally caps at the core
+    # count (more threads than cores thrash — PERF.md loader bench)
     train_loader = BatchLoader(train_dataset, args.batch_size, shuffle=True,
+                               num_workers=args.num_workers,
                                seed=10085, process_index=proc,
                                process_count=nproc)
     val_loader = BatchLoader(val_dataset, args.batch_size, shuffle=False,
+                             num_workers=args.num_workers,
                              seed=10085, drop_last=True, process_index=proc,
                              process_count=nproc)
 
@@ -299,9 +305,19 @@ def main(argv=None):
         print(f"Restored model, epoch {start_epoch}, step {int(state.step)}")
 
     mesh = make_mesh_for_batch(args.batch_size)
+    n_mesh = len(mesh.devices.ravel())
     if is_main:
-        print(f"Data-parallel mesh over {len(mesh.devices.ravel())} "
+        print(f"Data-parallel mesh over {n_mesh} "
               f"device(s), {nproc} host process(es)")
+    if args.grad_accum > 1 and (args.batch_size // n_mesh) % args.grad_accum:
+        # row-strided microbatches keep every device busy only when each
+        # device's contiguous batch rows split evenly over the microbatches;
+        # otherwise XLA inserts per-microbatch resharding (all-to-all) and
+        # devices idle (training.train_step docstring)
+        raise ValueError(
+            f"per-device batch {args.batch_size // n_mesh} must be divisible "
+            f"by --grad_accum {args.grad_accum} (global batch "
+            f"{args.batch_size} over {n_mesh} devices)")
     state = replicate_state(state, mesh)
     train_step = make_parallel_train_step(config, mesh,
                                           grad_accum=args.grad_accum)
@@ -354,15 +370,22 @@ def main(argv=None):
                                               state, device_batch, dcl_weight)
                     # 8-row board: c1,d1,sf1,df1,c2,d2,sf2,df2 (reference
                     # train.py:353-371); host_local = this host's rows in
-                    # multi-host runs (np.asarray cannot read remote shards)
+                    # multi-host runs (np.asarray cannot read remote shards).
+                    # Inputs are batch-sharded by shard_batch; the metrics
+                    # IMAGE outputs' sharding is compiler-chosen, so
+                    # host_local_rows slices to local rows if one comes
+                    # back replicated.
+                    local_bs = args.batch_size // nproc
                     boundary = host_local(device_batch["boundary"])
                     panels = []
                     for f in ("1", "2"):
                         panels += viz.training_panel(
                             host_local(device_batch[f"color_{f}"]),
-                            host_local(metrics[f"scaled_depth_{f}"]) * boundary,
+                            host_local_rows(metrics[f"scaled_depth_{f}"],
+                                            proc, local_bs) * boundary,
                             host_local(device_batch[f"flow_{f}"]) * boundary,
-                            host_local(metrics[f"flows_from_depth_{f}"]),
+                            host_local_rows(metrics[f"flows_from_depth_{f}"],
+                                            proc, local_bs),
                             is_hsv=args.use_hsv_colorspace)
                     writer.add_image("Training/Images/Results",
                                      viz.stack_panels(panels), int(state.step))
@@ -419,13 +442,16 @@ def main(argv=None):
                 # 8-row board, both frames (reference train.py:461-479);
                 # `batch` is this host's local rows, matching host_local's
                 # view of the sharded metrics
+                local_bs = batch["boundary"].shape[0]
                 panels = []
                 for f in ("1", "2"):
                     panels += viz.training_panel(
                         np.asarray(batch[f"color_{f}"]),
-                        host_local(metrics[f"scaled_depth_{f}"]) * batch["boundary"],
+                        host_local_rows(metrics[f"scaled_depth_{f}"],
+                                        proc, local_bs) * batch["boundary"],
                         batch[f"flow_{f}"] * batch["boundary"],
-                        host_local(metrics[f"flows_from_depth_{f}"]),
+                        host_local_rows(metrics[f"flows_from_depth_{f}"],
+                                        proc, local_bs),
                         is_hsv=args.use_hsv_colorspace)
                 writer.add_image("Validation/Images/Results",
                                  viz.stack_panels(panels), int(state.step))
