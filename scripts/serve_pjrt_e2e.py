@@ -55,6 +55,13 @@ def main():
     ap.add_argument("--plugin", default="/opt/axon/libaxon_pjrt.so")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--record", default=None,
+                    help="merge the measured serving numbers into this JSON "
+                         "file (bench.py reads BENCH_native_serving.json "
+                         "into its enriched line as native_* fields)")
+    ap.add_argument("--stream_batches", type=int, default=2,
+                    help="batches through the --stream leg (>=2; more makes "
+                         "its ms/batch a real latency measurement)")
     args = ap.parse_args()
 
     seq = preprocess.preprocess_sequence(
@@ -112,11 +119,24 @@ def main():
     }))
     if not ok:
         sys.exit("parity FAIL: TPU host output deviates from CPU reference")
+    if args.record:
+        rec = {}
+        if os.path.exists(args.record):
+            with open(args.record) as f:
+                rec = json.load(f)
+        rec[f"serving_b{args.batch}_ms"] = line["value"]
+        rec[f"serving_b{args.batch}_fps"] = line["fps"]
+        with open(args.record, "w") as f:
+            json.dump(rec, f)
+        print(f"recorded -> {args.record}", file=sys.stderr)
 
-    # --stream leg: 2 batches (original, batch-flipped) through the
-    # double-buffered stdin/stdout pipeline; per-sample determinism means
-    # batch 0 must be BIT-identical to the one-shot output
-    frames2 = np.concatenate([colors, colors[::-1]]).astype(np.float32)
+    # --stream leg: alternating (original, batch-flipped) batches through
+    # the double-buffered stdin/stdout pipeline; per-sample determinism
+    # means even batches must be BIT-identical to the one-shot output
+    n_stream = max(2, args.stream_batches)
+    frames2 = np.concatenate(
+        [colors if i % 2 == 0 else colors[::-1]
+         for i in range(n_stream)]).astype(np.float32)
     frames2.tofile(work / "stream_in.bin")
     cmd2 = [str(host), "--plugin", args.plugin, "--bundle", str(bundle),
             "--stream"]
@@ -128,14 +148,27 @@ def main():
         proc2 = subprocess.run(cmd2, stdin=fin, stdout=fout,
                                stderr=subprocess.PIPE, text=False,
                                timeout=900)
-    sys.stderr.write(proc2.stderr.decode())
+    stderr2 = proc2.stderr.decode()
+    sys.stderr.write(stderr2)
     if proc2.returncode != 0:
         sys.exit(f"pjrt_host --stream failed rc={proc2.returncode}")
     streamed = np.fromfile(work / "stream_out.bin", np.float32).reshape(
-        2, args.batch, 256, 320)
-    assert np.array_equal(streamed[0], got), "stream batch0 != one-shot"
-    assert np.array_equal(streamed[1], got[::-1]), "stream batch1 mismatch"
-    print(json.dumps({"stream": "OK", "stream_batches": 2}))
+        n_stream, args.batch, 256, 320)
+    for i in range(n_stream):
+        expect = got if i % 2 == 0 else got[::-1]
+        assert np.array_equal(streamed[i], expect), f"stream batch{i} mismatch"
+    stream_ms = None
+    for ln in stderr2.splitlines():
+        if '"pjrt_host_stream"' in ln:
+            stream_ms = json.loads(ln)["ms_per_batch"]
+    print(json.dumps({"stream": "OK", "stream_batches": n_stream,
+                      "stream_ms_per_batch": stream_ms}))
+    if args.record and stream_ms is not None:
+        with open(args.record) as f:
+            rec = json.load(f)
+        rec[f"serving_b{args.batch}_stream_ms"] = round(stream_ms, 3)
+        with open(args.record, "w") as f:
+            json.dump(rec, f)
 
 
 if __name__ == "__main__":
