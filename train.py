@@ -203,6 +203,18 @@ def main(argv=None):
         jax.distributed.initialize(
             coordinator_address=args.coordinator_address,
             num_processes=args.num_processes, process_id=args.process_id)
+        # Establish the cross-host communicator NOW, at a synchronized
+        # point: its lazy init inside the first real step does a KV-store
+        # handshake with a hard ~30 s deadline ("Gloo context
+        # initialization failed: GetKeyValue() timed out"), and on loaded
+        # hosts the two processes' thunk executors can reach the step's
+        # first collective >30 s apart. A barrier followed by a trivial
+        # all-device collective performs the handshake while every host
+        # is microseconds from it; the communicator is cached for the
+        # real programs. No-op on TPU pods in effect (ICI init is eager).
+        multihost_barrier("collective_warmup")
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("collective_warmup")
     proc, nproc = jax.process_index(), jax.process_count()
     is_main = proc == 0
 
@@ -462,13 +474,25 @@ def main(argv=None):
                 "sparse_flow": val_means["sparse_flow_loss"]}, epoch)
         mean_sfl = val_means.get("sparse_flow_loss", mean_sfl)
 
+        # EVERY process calls save: orbax coordinates multi-process saves
+        # internally (sync_global_processes) and only the primary host
+        # writes — a main-only call deadlocks process 0 inside orbax
+        # until the other hosts' barrier deadline kills the job
+        # (root-caused on the 2-process CLI, PERF.md round 5).
+        model_path = log_root / f"checkpoint_model_epoch_{epoch}_validation_{mean_sfl}"
+        ckpt.save_checkpoint(model_path, state, epoch + 1, mean_sfl)
         if is_main:
-            model_path = log_root / f"checkpoint_model_epoch_{epoch}_validation_{mean_sfl}"
-            ckpt.save_checkpoint(model_path, state, epoch + 1, mean_sfl)
             writer.export_scalars_to_json(log_root / f"all_scalars_{epoch}.json")
             print(f"epoch {epoch}: validation sfl {mean_sfl:.5f}, saved {model_path}")
 
     writer.close()
+    # Leave together: process 0's end-of-epoch work (orbax checkpoint
+    # save, scalar export) outlasts the other processes' loops, and a
+    # process that exits early starts the distributed runtime's Shutdown
+    # barrier, whose short deadline then KILLS the still-saving process 0
+    # ("Terminating process because the JAX distributed service detected
+    # fatal errors"). This barrier has a minutes-scale timeout instead.
+    multihost_barrier("train_done")
 
 
 if __name__ == "__main__":
