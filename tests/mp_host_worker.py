@@ -63,6 +63,21 @@ def main(process_id: int, port: str) -> None:
     print(f"MPLOSS {process_id} {float(metrics['loss']):.8f} "
           f"{float(metrics['grad_norm']):.6f}", flush=True)
 
+    if len(sys.argv) > 3:
+        # the multi-process checkpoint contract (train.py validation
+        # epochs): EVERY process calls save — orbax coordinates internally
+        # (sync_global_processes) and a main-only call deadlocks process 0
+        # — and only the primary host's directory materializes
+        from endoscopydepthestimation_pytorch_tpu.utils import (
+            checkpoint as ckpt)
+        path = os.path.join(sys.argv[3], f"p{process_id}", "ckpt")
+        ckpt.save_checkpoint(path, state, epoch=1, validation_loss=0.5)
+        wrote = os.path.isdir(path) and bool(os.listdir(path))
+        print(f"MPSAVE {process_id} {int(wrote)}", flush=True)
+        # leave together (train.py's train_done): an early exit starts the
+        # runtime's Shutdown barrier, whose deadline kills a slower peer
+        distributed.global_state.client.wait_at_barrier("done", 600_000)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), sys.argv[2])

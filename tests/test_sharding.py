@@ -245,11 +245,13 @@ def test_sharded_eval_and_predict(mesh, setup):
     assert len(depth.sharding.device_set) == 8  # output stays sharded
 
 
-def test_multihost_two_process_train_step():
+def test_multihost_two_process_train_step(tmp_path):
     """The multi-host branch of shard_batch/replicate_state
     (make_array_from_process_local_data, parallel/mesh.py) really works:
     2 OS processes x 2 virtual devices run one distributed train step over
-    localhost and produce the single-process loss (VERDICT r2 weak #3)."""
+    localhost and produce the single-process loss (VERDICT r2 weak #3).
+    Also pins the multi-process orbax checkpoint contract (round 5): every
+    process calls save, only the primary host's directory materializes."""
     import socket
     import subprocess
     import sys
@@ -270,7 +272,8 @@ def test_multihost_two_process_train_step():
 
     def run_workers(port):
         procs = [subprocess.Popen(
-            [sys.executable, str(worker), str(i), str(port)],
+            [sys.executable, str(worker), str(i), str(port),
+             str(tmp_path / "saves")],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env, cwd=str(Path(__file__).parent.parent))
             for i in range(2)]
@@ -325,14 +328,20 @@ def test_multihost_two_process_train_step():
         outs.append(out)
     losses = {}
     grad_norms = {}
+    saved = {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("MPLOSS"):
                 _, pid, loss, gn = line.split()
                 losses[int(pid)] = float(loss)
                 grad_norms[int(pid)] = float(gn)
+            elif line.startswith("MPSAVE"):
+                _, pid, wrote = line.split()
+                saved[int(pid)] = bool(int(wrote))
     assert set(losses) == {0, 1}, f"missing worker output: {outs}"
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+    # orbax multi-process save: both called it, only the primary wrote
+    assert saved == {0: True, 1: False}, f"save contract violated: {saved}"
 
     # single-process reference on the same global batch (our 8-device mesh
     # computes identical global means)
