@@ -30,7 +30,10 @@ BASE_ARGS = [
     "--num_iter", "4",          # 1 global batch per epoch
     "--number_epoch", "0",
     "--validation_interval", "1",
-    "--display_interval", "0",  # scalar-only: boards are e2e-tested already
+    # one display step (batch_idx 0): the with_images train program plus
+    # the host_local_rows image-readback path must work multi-host too
+    # (ADVICE r4 #2) — panels are built on every host from its local rows
+    "--display_interval", "1",
     "--training_patient_id", "1",
     "--testing_patient_id", "1",
     "--validation_patient_id", "1",
