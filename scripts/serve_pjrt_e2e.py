@@ -62,22 +62,31 @@ def main():
     ap.add_argument("--stream_batches", type=int, default=2,
                     help="batches through the --stream leg (>=2; more makes "
                          "its ms/batch a real latency measurement)")
+    ap.add_argument("--downsampling", type=float, default=4.0,
+                    help="frame downsampling (reference --input_downsampling;"
+                         " 2.0 gives the real 512x576 bag_1 crop)")
+    ap.add_argument("--suggested_size", type=int, nargs=2, default=[256, 320],
+                    metavar=("H", "W"), help="crop-size hint; the dataset "
+                    "computes the actual 64-divisible crop from the mask")
     args = ap.parse_args()
 
     seq = preprocess.preprocess_sequence(
-        FIXTURE, downsampling=4.0, network_downsampling=64, is_hsv=False,
-        inlier_percentage=0.99, visible_interval=30,
-        suggested_h=256, suggested_w=320)
+        FIXTURE, downsampling=args.downsampling, network_downsampling=64,
+        is_hsv=False, inlier_percentage=0.99, visible_interval=30,
+        suggested_h=args.suggested_size[0], suggested_w=args.suggested_size[1])
 
+    h, w = seq.mask_boundary.shape[:2]
+    print(f"sequence crop: {h}x{w}", file=sys.stderr)
     work = Path(tempfile.mkdtemp(prefix="pjrt_e2e_"))
     model = FCDenseNet57(n_classes=1)
     config = training.TrainConfig()
     state = training.create_train_state(
-        model, jax.random.PRNGKey(7), (1, 256, 320, 3), config)
+        model, jax.random.PRNGKey(7), (1, h, w, 3), config)
     ckpt.save_checkpoint(work / "ckpt", state, epoch=0, validation_loss=1.0)
 
     predictor = serving.DepthPredictor(work / "ckpt", seq,
-                                       batch_size=args.batch)
+                                       batch_size=args.batch,
+                                       downsampling=args.downsampling)
     bundle = work / "bundle"
     predictor.export_pjrt_bundle(bundle, platform="tpu")
 
@@ -100,7 +109,7 @@ def main():
         sys.exit(f"pjrt_host failed rc={proc.returncode}")
 
     got = np.fromfile(work / "depth.bin", np.float32).reshape(
-        args.batch, 256, 320)
+        args.batch, h, w)
     ref = np.asarray(reference, np.float32)
     # bf16 model on two backends: expect ~0.3% mean-relative rounding noise
     # and near-perfect correlation; structural bugs (layout, wrong weights)
@@ -153,7 +162,7 @@ def main():
     if proc2.returncode != 0:
         sys.exit(f"pjrt_host --stream failed rc={proc2.returncode}")
     streamed = np.fromfile(work / "stream_out.bin", np.float32).reshape(
-        n_stream, args.batch, 256, 320)
+        n_stream, args.batch, h, w)
     for i in range(n_stream):
         expect = got if i % 2 == 0 else got[::-1]
         assert np.array_equal(streamed[i], expect), f"stream batch{i} mismatch"
